@@ -1,0 +1,71 @@
+"""Single dataclass config for the whole framework.
+
+Replaces the reference's scattered argparse flags (util/hyper_para.py,
+interactive_gui.py:975-988, eval_interactive_davis.py:22-30) with one
+typed config. Stage-dependent training defaults mirror
+util/hyper_para.py:46-53.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class MemoryConfig:
+    top_k: Optional[int] = 50          # reference prop_net.py:132
+    mem_freq: int = 5                  # reference inference_core.py:36
+    km: Optional[float] = None         # kernelized-memory sigma (off by default)
+    bank_cap_frames: int = 512         # hard cap on committed memory frames
+    # Host-offload policy replacing the reference's mem_profile levels
+    # (inference_core.py:44-63). 0 keeps everything on device.
+    mem_profile: int = 0
+    query_buf_size: int = 105
+    image_buf_size: int = 105
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    key_dim: int = 128
+    val_dim: int = 512
+    # Compute dtype for conv towers; params stay fp32. bfloat16 keeps the
+    # MXU at full rate; the affinity softmax always runs fp32.
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Fusion-module training (reference util/hyper_para.py:7-59)."""
+
+    stage: int = 0                     # 0 = BL30K, 1 = DAVIS
+    batch_size: int = 12
+    lr: float = 2e-5
+    iterations: Optional[int] = None   # stage default if None
+    steps: Optional[Tuple[int, ...]] = None
+    gamma: float = 0.1
+    seed: int = 14159265               # reference train.py:29
+    save_every: int = 5000
+    report_every: int = 50
+    data_axis: str = "data"            # mesh axis name for DP
+
+    def resolved_iterations(self) -> int:
+        if self.iterations is not None:
+            return self.iterations
+        return 30000 if self.stage == 0 else 10000
+
+    def resolved_steps(self) -> Tuple[int, ...]:
+        if self.steps is not None:
+            return self.steps
+        return (25000,) if self.stage == 0 else (8000,)
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    memory: MemoryConfig = dataclasses.field(default_factory=MemoryConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    # f-BRS knobs (reference interact/fbrs_controller.py:7-53)
+    fbrs_max_clicks: int = 8
+    fbrs_lbfgs_maxfun: int = 20
+    fbrs_zoom_target: int = 480
+    fbrs_zoom_expand: float = 1.4

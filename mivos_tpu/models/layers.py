@@ -1,0 +1,102 @@
+"""Shared NN building blocks (flax.linen, NHWC).
+
+Every BatchNorm in this framework runs with frozen statistics: the
+reference keeps BN in eval mode even while training the fusion module
+(reference: model/fusion_model.py:199-200), and all inference paths use
+pretrained frozen stats. FrozenBatchNorm therefore stores (scale, bias,
+mean, var) as plain parameters and applies a pure affine transform that
+XLA fuses into the preceding conv. Cross-device *training* BN lives in
+ops/syncbn.py.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mivos_tpu.ops.resize import upsample2x
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with frozen statistics; a per-channel affine transform."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        # Fold into a single multiply-add; all fp32 regardless of x dtype
+        # to preserve pretrained-stat precision, then cast back.
+        mul = (scale * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
+        add = (bias - mean * scale * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
+        return x * mul + add
+
+
+def conv3x3(features: int, stride: int = 1, dilation: int = 1,
+            use_bias: bool = True, name: Optional[str] = None) -> nn.Conv:
+    return nn.Conv(features, (3, 3), strides=(stride, stride),
+                   padding=((dilation, dilation), (dilation, dilation)),
+                   kernel_dilation=(dilation, dilation),
+                   use_bias=use_bias, name=name)
+
+
+def conv1x1(features: int, stride: int = 1, use_bias: bool = True,
+            name: Optional[str] = None) -> nn.Conv:
+    return nn.Conv(features, (1, 1), strides=(stride, stride), padding="VALID",
+                   use_bias=use_bias, name=name)
+
+
+class ResBlock(nn.Module):
+    """Pre-activation residual block of the propagation decoder
+    (reference: model/propagation/modules.py:15-35)."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_dim = x.shape[-1]
+        r = conv3x3(self.out_dim, name="conv1")(nn.relu(x))
+        r = conv3x3(self.out_dim, name="conv2")(nn.relu(r))
+        if in_dim != self.out_dim:
+            x = conv3x3(self.out_dim, name="downsample")(x)
+        return x + r
+
+
+class UpsampleBlock(nn.Module):
+    """Skip-connected 2x upsampling block
+    (reference: model/propagation/modules.py:92-104)."""
+
+    up_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, skip_f: jax.Array, up_f: jax.Array) -> jax.Array:
+        x = conv3x3(self.up_dim, name="skip_conv1")(skip_f)
+        x = ResBlock(self.up_dim, name="skip_conv2")(x)
+        x = x + upsample2x(up_f)
+        return ResBlock(self.out_dim, name="out_conv")(x)
+
+
+class KeyValue(nn.Module):
+    """3x3 key/value projection heads
+    (reference: model/propagation/modules.py:107-114)."""
+
+    key_dim: int = 128
+    val_dim: int = 512
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        k = conv3x3(self.key_dim, name="key_proj")(x)
+        v = conv3x3(self.val_dim, name="val_proj")(x)
+        return k, v
+
+
+def max_pool_3x3_s2(x: jax.Array) -> jax.Array:
+    """torch MaxPool2d(kernel_size=3, stride=2, padding=1) equivalent."""
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

@@ -1,0 +1,143 @@
+"""STM-style propagation network (reference: model/propagation/prop_net.py).
+
+Functional, NHWC, flax.linen. The object axis K is a leading batch axis
+throughout — the reference's per-object Python loop with batched=1
+sub-batching (prop_net.py:172-176) becomes plain batching, which keeps
+the MXU fed with one large matmul instead of K small ones.
+
+API surface (exposed as linen methods, selected via `method=`):
+  memorize(frame, masks)              -> (mem_k, mem_v)   per-object K/V
+  get_query_values(frame)             -> (f16, f8, f4, k16, v16)
+  segment_with_query(mem_k, mem_v, valid, f16, f8, f4, k16, v16) -> masks
+  get_attention(mk16, pos_mask, neg_mask, qk16) -> 2-ch attention map
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mivos_tpu.models.layers import KeyValue, ResBlock, UpsampleBlock, conv3x3
+from mivos_tpu.models.resnet import ResNet50
+from mivos_tpu.ops import memory_read as mr
+from mivos_tpu.ops.resize import area_downsample, bilinear_resize, upsample2x
+
+KEY_DIM = 128
+VAL_DIM = 512
+
+
+class Decoder(nn.Module):
+    """Refinement decoder: 1/16 -> 1/4 with skip connections, then 4x
+    bilinear to full resolution (reference: prop_net.py:14-31)."""
+
+    @nn.compact
+    def __call__(self, f16: jax.Array, f8: jax.Array, f4: jax.Array) -> jax.Array:
+        x = ResBlock(512, name="compress")(f16)
+        x = UpsampleBlock(512, 256, name="up_16_8")(f8, x)
+        x = UpsampleBlock(256, 256, name="up_8_4")(f4, x)
+        x = conv3x3(1, name="pred")(nn.relu(x))
+        h, w = x.shape[-3], x.shape[-2]
+        return bilinear_resize(x, (h * 4, w * 4))
+
+
+def compute_others(masks: jax.Array) -> jax.Array:
+    """Sum of all *other* objects' masks (reference: prop_net.py:150-157).
+
+    masks: (K, H, W, 1). For K==1 this is all zeros, matching the
+    reference's explicit zero branch.
+    """
+    total = jnp.sum(masks, axis=0, keepdims=True)
+    return total - masks
+
+
+class PropagationNetwork(nn.Module):
+    top_k: Optional[int] = 50
+    km: Optional[float] = None
+
+    def setup(self):
+        # 5-channel (RGB + this mask + others mask) memory encoder; the
+        # mod_resnet flavor uses biased convs (mod_resnet.py:119).
+        self.mask_rgb_encoder = ResNet50(in_chans=5, num_stages=3,
+                                         conv_bias=True, name="mask_rgb_encoder")
+        self.rgb_encoder = ResNet50(in_chans=3, num_stages=3, conv_bias=False,
+                                    name="rgb_encoder")
+        self.kv_m_f16 = KeyValue(KEY_DIM, VAL_DIM, name="kv_m_f16")
+        self.kv_q_f16 = KeyValue(KEY_DIM, VAL_DIM, name="kv_q_f16")
+        self.decoder = Decoder(name="decoder")
+
+    def memorize(self, frame: jax.Array, masks: jax.Array):
+        """frame: (H, W, 3); masks: (K, H, W, 1) soft per-object masks.
+
+        Returns flattened (K, N, CK) keys and (K, N, CV) values with
+        N = H/16 * W/16 — bank-ready layout (reference returns
+        K x C x 1 x H/16 x W/16, prop_net.py:144-162).
+        """
+        k = masks.shape[0]
+        frames = jnp.broadcast_to(frame[None], (k,) + frame.shape)
+        others = compute_others(masks)
+        x = jnp.concatenate([frames, masks, others], axis=-1)  # (K, H, W, 5)
+        f16, _, _ = self.mask_rgb_encoder(x)
+        k16, v16 = self.kv_m_f16(f16)
+        n = k16.shape[1] * k16.shape[2]
+        return k16.reshape(k, n, KEY_DIM), v16.reshape(k, n, VAL_DIM)
+
+    def get_query_values(self, frame: jax.Array):
+        """frame: (H, W, 3) -> pyramid + query key/value (all batch-1)."""
+        f16, f8, f4 = self.rgb_encoder(frame[None])
+        k16, v16 = self.kv_q_f16(f16)
+        return f16, f8, f4, k16, v16
+
+    def segment_with_query(self, mem_k, mem_v, valid, f16, f8, f4, k16, v16):
+        """Memory read + decode (reference: prop_net.py:164-181).
+
+        mem_k/mem_v: (K, M, C) bucketed bank; valid: (M,) bool.
+        k16/v16/f8/f4: batch-1 query tensors from get_query_values.
+        Returns (K, H, W, 1) per-object sigmoid probabilities.
+        """
+        k = mem_k.shape[0]
+        _, h16, w16, _ = k16.shape
+        qk = k16.reshape(h16 * w16, KEY_DIM)
+        readout = mr.memory_read(mem_k, mem_v, qk, top_k=self.top_k,
+                                 valid=valid, km=self.km, query_hw=(h16, w16))
+        readout = readout.reshape(k, h16, w16, VAL_DIM)
+        qv = jnp.broadcast_to(v16, (k,) + v16.shape[1:])
+        m4 = jnp.concatenate([readout, qv], axis=-1)  # (K, h16, w16, 1024)
+        f8k = jnp.broadcast_to(f8, (k,) + f8.shape[1:])
+        f4k = jnp.broadcast_to(f4, (k,) + f4.shape[1:])
+        logits = self.decoder(m4, f8k, f4k)
+        return jax.nn.sigmoid(logits)
+
+    def get_attention(self, mk16, pos_mask, neg_mask, qk16):
+        """Difference-aware attention read (reference: prop_net.py:183-200).
+
+        mk16: (K, N, CK) memory keys of the interacted frame (T=1).
+        pos_mask/neg_mask: (K, H, W, 1) mask-change maps.
+        qk16: (1, h16, w16, CK) query key of the current frame.
+        Returns (K, H, W, 2) upsampled [pos, neg] attention maps.
+        """
+        k, h, w, _ = pos_mask.shape
+        h16, w16 = h // 16, w // 16
+        qk = qk16.reshape(h16 * w16, KEY_DIM)
+        aff = mr.full_softmax_affinity(mk16, qk)  # (K, M, N) softmax over M
+        pos = area_downsample(pos_mask, 16).reshape(k, 1, h16 * w16)
+        neg = area_downsample(neg_mask, 16).reshape(k, 1, h16 * w16)
+        pos_map = jnp.einsum("kom,kmn->kon", pos, aff,
+                             preferred_element_type=jnp.float32)
+        neg_map = jnp.einsum("kom,kmn->kon", neg, aff,
+                             preferred_element_type=jnp.float32)
+        attn = jnp.concatenate([pos_map, neg_map], axis=1)  # (K, 2, N)
+        attn = attn.reshape(k, 2, h16, w16).transpose(0, 2, 3, 1)
+        return bilinear_resize(attn, (h, w))
+
+    def __call__(self, frame, masks, query_frame):
+        """Combined one-step path used for init and the graft entry:
+        memorize `frame`+`masks`, then segment `query_frame` against it."""
+        mem_k, mem_v = self.memorize(frame, masks)
+        valid = jnp.ones((mem_k.shape[1],), dtype=bool)
+        f16, f8, f4, k16, v16 = self.get_query_values(query_frame)
+        out = self.segment_with_query(mem_k, mem_v, valid, f16, f8, f4, k16, v16)
+        # Touch the attention branch so a single init() creates all params.
+        attn = self.get_attention(mem_k, masks, masks, k16)
+        return out, attn

@@ -1,0 +1,119 @@
+"""Core tensor utilities: padding, one-hot, IoU.
+
+TPU-native reimplementation of the utility layer of MiVOS
+(reference: util/tensor_util.py). All functions are pure and jit-able;
+layouts are NHWC (channels-last) which is the native TPU layout, unlike
+the reference's NCHW.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Pad = Tuple[int, int, int, int]  # (left_w, right_w, top_h, bottom_h)
+
+
+def compute_pad(h: int, w: int, d: int = 16) -> Pad:
+    """Symmetric padding amounts that round (h, w) up to multiples of d.
+
+    Matches the padding convention of the reference `pad_divide_by`
+    (reference: util/tensor_util.py:62-80): the smaller half goes on the
+    left/top. Returns (lw, uw, lh, uh).
+    """
+    new_h = h + (d - h % d) % d
+    new_w = w + (d - w % d) % d
+    lh, uh = (new_h - h) // 2, (new_h - h) - (new_h - h) // 2
+    lw, uw = (new_w - w) // 2, (new_w - w) - (new_w - w) // 2
+    return (lw, uw, lh, uh)
+
+
+def pad_divide_by(x: jax.Array, d: int = 16, hw_axes: Tuple[int, int] = (-3, -2)):
+    """Pad spatial dims (NHWC: axes -3, -2) to multiples of d.
+
+    Returns (padded, pad) with pad = (lw, uw, lh, uh). Static-shape: the
+    pad amounts are Python ints derived from the static shape, so this
+    traces to a fixed lax.pad.
+    """
+    h_ax = hw_axes[0] % x.ndim
+    w_ax = hw_axes[1] % x.ndim
+    h, w = x.shape[h_ax], x.shape[w_ax]
+    lw, uw, lh, uh = compute_pad(h, w, d)
+    cfg = [(0, 0)] * x.ndim
+    cfg[h_ax] = (lh, uh)
+    cfg[w_ax] = (lw, uw)
+    return jnp.pad(x, cfg), (lw, uw, lh, uh)
+
+
+def unpad(x: jax.Array, pad: Pad, hw_axes: Tuple[int, int] = (-3, -2)) -> jax.Array:
+    """Inverse of pad_divide_by (reference: util/tensor_util.py:82-94)."""
+    lw, uw, lh, uh = pad
+    h_ax = hw_axes[0] % x.ndim
+    w_ax = hw_axes[1] % x.ndim
+    idx = [slice(None)] * x.ndim
+    if lh + uh > 0:
+        idx[h_ax] = slice(lh, x.shape[h_ax] - uh)
+    if lw + uw > 0:
+        idx[w_ax] = slice(lw, x.shape[w_ax] - uw)
+    return x[tuple(idx)]
+
+
+def one_hot_mask(labels: jax.Array, num_objects: int) -> jax.Array:
+    """Indexed label map (H, W) -> per-object masks (K, H, W, 1).
+
+    Object ids are 1..num_objects; 0 is background (dropped).
+    (reference: dataset/onehot_util.py)
+    """
+    k = jnp.arange(1, num_objects + 1)
+    oh = (labels[None, :, :] == k[:, None, None]).astype(jnp.float32)
+    return oh[..., None]
+
+
+def compute_iou(seg: jax.Array, gt: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """IoU of two boolean masks (reference: util/tensor_util.py:17-27)."""
+    seg = seg.astype(jnp.bool_)
+    gt = gt.astype(jnp.bool_)
+    i = jnp.sum(jnp.logical_and(seg, gt).astype(jnp.float32))
+    u = jnp.sum(jnp.logical_or(seg, gt).astype(jnp.float32))
+    return (i + eps) / (u + eps)
+
+
+def next_bucket(n: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= n. Buckets must be ascending; the last bucket is a cap."""
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"size {n} exceeds largest bucket {buckets[-1]}")
+
+
+def memory_buckets(cap: int = 512) -> Tuple[int, ...]:
+    """Geometric bucket schedule for the memory-bank frame axis.
+
+    Growing the bank re-traces jit at most O(log cap) times per process
+    (and the traces are shared across videos); within a bucket the shapes
+    are static so interactive rounds never retrace.
+    """
+    out = [1, 2, 4]
+    while out[-1] < cap:
+        out.append(out[-1] * 2)
+    return tuple(out)
+
+
+@functools.partial(jax.jit, static_argnames=("num_objects",))
+def mask_to_label(prob: jax.Array, num_objects: int) -> jax.Array:
+    """(K+1, H, W, 1) probabilities -> (H, W) uint8 argmax label map."""
+    del num_objects
+    return jnp.argmax(prob[..., 0], axis=0).astype(jnp.uint8)
+
+
+def np_unpad_hw(arr: np.ndarray, pad: Pad) -> np.ndarray:
+    """Host-side unpad for (..., H, W) numpy arrays."""
+    lw, uw, lh, uh = pad
+    if lh + uh > 0:
+        arr = arr[..., lh: arr.shape[-2] - uh, :]
+    if lw + uw > 0:
+        arr = arr[..., :, lw: arr.shape[-1] - uw]
+    return arr

@@ -1,0 +1,104 @@
+"""Propagation network: shape contracts, jit-ability, batching semantics."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mivos_tpu.models.propagation import PropagationNetwork, compute_others
+
+H, W = 64, 96          # /16 -> 4 x 6 feature grid
+K = 2
+
+
+@pytest.fixture(scope="module")
+def net_and_params():
+    net = PropagationNetwork(top_k=10)
+    rng = jax.random.PRNGKey(0)
+    frame = jnp.zeros((H, W, 3))
+    masks = jnp.zeros((K, H, W, 1))
+    params = net.init(rng, frame, masks, frame)
+    return net, params
+
+
+def test_compute_others():
+    m = jnp.asarray(np.random.RandomState(0).rand(3, 4, 4, 1).astype(np.float32))
+    o = compute_others(m)
+    np.testing.assert_allclose(np.asarray(o[0]), np.asarray(m[1] + m[2]), atol=1e-6)
+    # K=1: all zeros (reference prop_net.py:156-157)
+    o1 = compute_others(m[:1])
+    np.testing.assert_allclose(np.asarray(o1), 0.0, atol=1e-6)
+
+
+def test_memorize_shapes(net_and_params):
+    net, params = net_and_params
+    frame = jnp.zeros((H, W, 3))
+    masks = jnp.zeros((K, H, W, 1))
+    mk, mv = net.apply(params, frame, masks, method="memorize")
+    n = (H // 16) * (W // 16)
+    assert mk.shape == (K, n, 128)
+    assert mv.shape == (K, n, 512)
+
+
+def test_query_shapes(net_and_params):
+    net, params = net_and_params
+    f16, f8, f4, k16, v16 = net.apply(params, jnp.zeros((H, W, 3)),
+                                      method="get_query_values")
+    assert f16.shape == (1, H // 16, W // 16, 1024)
+    assert f8.shape == (1, H // 8, W // 8, 512)
+    assert f4.shape == (1, H // 4, W // 4, 256)
+    assert k16.shape == (1, H // 16, W // 16, 128)
+    assert v16.shape == (1, H // 16, W // 16, 512)
+
+
+def test_segment_full_pipeline_jits(net_and_params):
+    net, params = net_and_params
+    rng = np.random.RandomState(1)
+    frame = jnp.asarray(rng.rand(H, W, 3).astype(np.float32))
+    qframe = jnp.asarray(rng.rand(H, W, 3).astype(np.float32))
+    masks = jnp.asarray((rng.rand(K, H, W, 1) > 0.5).astype(np.float32))
+
+    @jax.jit
+    def step(p, f, m, q):
+        return net.apply(p, f, m, q)
+
+    out, attn = step(params, frame, masks, qframe)
+    assert out.shape == (K, H, W, 1)
+    assert attn.shape == (K, H, W, 2)
+    o = np.asarray(out)
+    assert np.all(o >= 0) and np.all(o <= 1) and not np.any(np.isnan(o))
+
+
+def test_object_batching_matches_per_object_loop(net_and_params):
+    """The K-batched memory read + decode must equal running objects one
+    at a time (the reference's batched=1 loop, prop_net.py:172-176)."""
+    net, params = net_and_params
+    rng = np.random.RandomState(2)
+    n = (H // 16) * (W // 16)
+    mem_k = jnp.asarray(rng.randn(K, 2 * n, 128).astype(np.float32))
+    mem_v = jnp.asarray(rng.randn(K, 2 * n, 512).astype(np.float32))
+    valid = jnp.ones((2 * n,), bool)
+    qframe = jnp.asarray(rng.rand(H, W, 3).astype(np.float32))
+    query = net.apply(params, qframe, method="get_query_values")
+
+    batched = net.apply(params, mem_k, mem_v, valid, *query,
+                        method="segment_with_query")
+    per_obj = jnp.concatenate([
+        net.apply(params, mem_k[i:i + 1], mem_v[i:i + 1], valid, *query,
+                  method="segment_with_query")
+        for i in range(K)
+    ], axis=0)
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(per_obj),
+                               atol=2e-5)
+
+
+def test_attention_map_properties(net_and_params):
+    net, params = net_and_params
+    rng = np.random.RandomState(3)
+    n = (H // 16) * (W // 16)
+    mk16 = jnp.asarray(rng.randn(K, n, 128).astype(np.float32))
+    pos = jnp.asarray((rng.rand(K, H, W, 1) > 0.7).astype(np.float32))
+    neg = jnp.asarray((rng.rand(K, H, W, 1) > 0.7).astype(np.float32))
+    qk16 = jnp.asarray(rng.randn(1, H // 16, W // 16, 128).astype(np.float32))
+    attn = net.apply(params, mk16, pos, neg, qk16, method="get_attention")
+    assert attn.shape == (K, H, W, 2)
+    assert not np.any(np.isnan(np.asarray(attn)))
