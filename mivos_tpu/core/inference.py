@@ -1,0 +1,308 @@
+"""Interactive inference session: interact -> bidirectional propagate -> fuse.
+
+TPU-native rework of the reference InferenceCore (inference_core.py).
+The per-frame loop stays in Python (it is ~100 iterations of jitted
+steps; the mem_freq commit logic is host-side integer math), while all
+tensor work happens in three jitted functions shared process-wide per
+(network, shape-bucket):
+
+  query_fn       frame -> (f16, f8, f4, k16, v16)          [cached per frame]
+  propagate_step bank + query -> aggregated probs + bank write (donated)
+  fuse_step      difference-aware fusion of old vs new probabilities
+
+State layout differences from the reference (by design, not translation):
+  * memory bank is a bucketed fixed-capacity array + scalar liveness
+    (see core/memory_bank.py) instead of exact-size torch.empty;
+  * per-frame probabilities are a host list of (K+1, H, W, 1) device
+    arrays instead of one (K+1, T, 1, H, W) tensor — no O(T) copy per
+    frame write, and host-offload (mem_profile) becomes a device_get of
+    list entries;
+  * the object axis K is batched through the whole step (the reference
+    loops objects one at a time, prop_net.py:172-176).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mivos_tpu.config import MemoryConfig
+from mivos_tpu.core.memory_bank import MemoryBank
+from mivos_tpu.models.fusion import FusionNet
+from mivos_tpu.models.propagation import PropagationNetwork
+from mivos_tpu.ops.aggregate import aggregate_wbg
+from mivos_tpu.utils.tensor import next_bucket, pad_divide_by
+
+Query = Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]
+
+
+@functools.lru_cache(maxsize=8)
+def build_step_fns(prop_net: PropagationNetwork, fuse_net: Optional[FusionNet]):
+    """Jitted step functions, cached per network config so the XLA
+    compile cache is shared across videos/sessions."""
+
+    query_fn = jax.jit(
+        lambda p, image: prop_net.apply(p, image, method="get_query_values"))
+
+    memorize_fn = jax.jit(
+        lambda p, image, masks: prop_net.apply(p, image, masks,
+                                               method="memorize"))
+
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
+    def propagate_step(p, bank_k, bank_v, num_valid_rows, write_row,
+                       image, f16, f8, f4, k16, v16):
+        valid = jnp.arange(bank_k.shape[1]) < num_valid_rows
+        out = prop_net.apply(p, bank_k, bank_v, valid, f16, f8, f4, k16, v16,
+                             method="segment_with_query")
+        agg = aggregate_wbg(out, keep_bg=True)  # (K+1, H, W, 1)
+        mk, mv = prop_net.apply(p, image, agg[1:], method="memorize")
+        bank_k = jax.lax.dynamic_update_slice(bank_k, mk, (0, write_row, 0))
+        bank_v = jax.lax.dynamic_update_slice(bank_v, mv, (0, write_row, 0))
+        return agg, bank_k, bank_v
+
+    fuse_step = None
+    if fuse_net is not None:
+        @jax.jit
+        def fuse_step(p, fp, image, prev_prob, curr_prob, mk16_int,
+                      pos_diff, neg_diff, qk16, dist):
+            """Difference-aware fusion of one frame
+            (reference inference_core.py:202-217), batched over objects."""
+            k = prev_prob.shape[0] - 1
+            attn = prop_net.apply(p, mk16_int, pos_diff, neg_diff, qk16,
+                                  method="get_attention")
+            im = jnp.broadcast_to(image[None], (k,) + image.shape)
+            logits = fuse_net.apply(fp, im, prev_prob[1:], curr_prob[1:],
+                                    attn, dist)
+            w = jax.nn.sigmoid(logits)
+            return aggregate_wbg(w, keep_bg=True)
+
+    argmax_fn = jax.jit(lambda prob: jnp.argmax(prob[..., 0], axis=0)
+                        .astype(jnp.uint8))
+
+    # Batched over frames: (F, K+1, H, W, 1) -> (F, H, W). One dispatch +
+    # one host transfer per interaction round instead of one per frame —
+    # per-transfer latency dominates wall time on remote-attached TPUs.
+    argmax_batch_fn = jax.jit(lambda probs: jnp.argmax(probs[..., 0], axis=1)
+                              .astype(jnp.uint8))
+
+    return (query_fn, memorize_fn, propagate_step, fuse_step, argmax_fn,
+            argmax_batch_fn)
+
+
+class InferenceCore:
+    """One interactive session over one video.
+
+    images: (T, H, W, 3) float32, ImageNet-normalized, UNPADDED (numpy or
+    jax array).
+    """
+
+    def __init__(self, prop_net: PropagationNetwork, prop_params,
+                 fuse_net: Optional[FusionNet], fuse_params,
+                 images, num_objects: int,
+                 mem: MemoryConfig = MemoryConfig()):
+        self.prop_net, self.prop_params = prop_net, prop_params
+        self.fuse_net, self.fuse_params = fuse_net, fuse_params
+        self.mem = mem
+        (self.query_fn, self.memorize_fn, self.propagate_step,
+         self.fuse_step, self.argmax_fn,
+         self.argmax_batch_fn) = build_step_fns(prop_net, fuse_net)
+
+        images = jnp.asarray(images)
+        self.t = images.shape[0]
+        self.h, self.w = images.shape[1:3]
+        self.k = num_objects
+
+        padded, self.pad = pad_divide_by(images, 16)
+        self.nh, self.nw = padded.shape[1:3]
+        self.n16 = (self.nh // 16) * (self.nw // 16)
+
+        self.on_device_data = mem.mem_profile == 0 or mem.mem_profile == 1
+        self.on_device_results = mem.mem_profile <= 1
+        if mem.mem_profile == 0:
+            self.images = jax.device_put(padded)
+        else:
+            self.images = np.asarray(padded)  # host copy; slices staged in
+
+        # Per-frame (K+1, nh, nw, 1) probabilities; None = untouched frame
+        # (background). Host numpy when offloaded, device arrays otherwise.
+        self.prob: List[Optional[object]] = [None] * self.t
+        self.np_masks = np.zeros((self.t, self.h, self.w), np.uint8)
+
+        self.query_buf: Dict[int, Query] = {}
+        self.image_buf: Dict[int, jax.Array] = {}
+        self.interacted: set = set()
+
+        self.certain_k: Optional[jax.Array] = None  # (K, s*n, CK)
+        self.certain_v: Optional[jax.Array] = None
+        self.pos_diff: Optional[jax.Array] = None   # (K, nh, nw, 1)
+        self.neg_diff: Optional[jax.Array] = None
+
+        self.bank = MemoryBank(self.k, self.n16,
+                               cap_frames=mem.bank_cap_frames)
+
+    # ----- buffered getters (reference inference_core.py:96-120) -----
+
+    def get_image(self, idx: int) -> jax.Array:
+        if self.mem.mem_profile == 0:
+            return self.images[idx]
+        if idx not in self.image_buf:
+            if len(self.image_buf) > self.mem.image_buf_size:
+                self.image_buf = {}
+            self.image_buf[idx] = jax.device_put(jnp.asarray(self.images[idx]))
+        return self.image_buf[idx]
+
+    def get_query(self, idx: int) -> Query:
+        if idx not in self.query_buf:
+            if len(self.query_buf) > self.mem.query_buf_size:
+                self.query_buf = {}
+            self.query_buf[idx] = self.query_fn(self.prop_params,
+                                                self.get_image(idx))
+        return self.query_buf[idx]
+
+    # ----- probability storage -----
+
+    def _default_prob(self) -> jax.Array:
+        p = jnp.zeros((self.k + 1, self.nh, self.nw, 1))
+        return p.at[0].set(1e-7)  # reference inference_core.py:82
+
+    def get_prob(self, ti: int) -> jax.Array:
+        if self.prob[ti] is None:
+            return self._default_prob()
+        p = self.prob[ti]
+        return jnp.asarray(p) if isinstance(p, np.ndarray) else p
+
+    def set_prob(self, ti: int, prob: jax.Array) -> None:
+        self.prob[ti] = np.asarray(prob) if not self.on_device_results else prob
+
+    # ----- core passes -----
+
+    def do_pass(self, key_k, key_v, idx: int, forward: bool,
+                step_cb: Optional[Callable] = None) -> int:
+        """Propagate from interacted frame idx until the closest other
+        interacted frame (reference inference_core.py:122-200).
+        key_k/key_v: (K, n, C) memory of the interacted frame (already in
+        certain memory; passed for the fusion attention read)."""
+        num_certain = self.certain_k.shape[1] // self.n16
+        m_front = num_certain
+
+        if forward:
+            closest_ti = min([ti for ti in self.interacted if ti > idx]
+                             + [self.t])
+            total_m = (closest_ti - idx - 1) // self.mem.mem_freq + 1 + num_certain
+            this_range = range(idx + 1, closest_ti)
+            end = closest_ti - 1
+        else:
+            closest_ti = max([ti for ti in self.interacted if ti < idx]
+                             + [-1])
+            total_m = (idx - closest_ti - 1) // self.mem.mem_freq + 1 + num_certain
+            this_range = range(idx - 1, closest_ti, -1)
+            end = closest_ti + 1
+
+        self.bank.reset(total_m, self.certain_k, self.certain_v)
+        prev_in_mem = True
+        last_ti = idx
+        do_fuse = (closest_ti != self.t) and (closest_ti != -1) and \
+            (self.fuse_step is not None)
+        qk16_int = None
+
+        for ti in this_range:
+            rows = self.bank.valid_rows(include_transient=not prev_in_mem)
+            write_row = jnp.int32(m_front * self.n16)
+            f16, f8, f4, k16, v16 = self.get_query(ti)
+            agg, self.bank.keys, self.bank.values = self.propagate_step(
+                self.prop_params, self.bank.keys, self.bank.values,
+                rows, write_row, self.get_image(ti), f16, f8, f4, k16, v16)
+
+            if ti != end:
+                if abs(ti - last_ti) >= self.mem.mem_freq:
+                    m_front += 1
+                    self.bank.num_slots = m_front
+                    last_ti = ti
+                    prev_in_mem = True
+                else:
+                    prev_in_mem = False
+
+            if do_fuse:
+                dist = self._time_coef(closest_ti, idx, ti)
+                agg = self.fuse_step(self.prop_params, self.fuse_params,
+                                     self.get_image(ti), self.get_prob(ti),
+                                     agg, key_k, self.pos_diff,
+                                     self.neg_diff, k16, dist)
+            self.set_prob(ti, agg)
+
+            if step_cb is not None:
+                step_cb()
+        return closest_ti
+
+    def _time_coef(self, tc: int, tr: int, ti: int) -> jax.Array:
+        nc = abs(tc - ti) / abs(tc - tr)
+        nr = abs(tr - ti) / abs(tc - tr)
+        return jnp.broadcast_to(jnp.asarray([nc, nr], jnp.float32),
+                                (self.k, 2))
+
+    def interact(self, mask, idx: int,
+                 total_cb: Optional[Callable] = None,
+                 step_cb: Optional[Callable] = None) -> np.ndarray:
+        """mask: (K+1, h, w, 1) probabilities (bg included) on the RAW
+        (unpadded) grid. Returns (T, h, w) uint8 label maps
+        (reference inference_core.py:219-271)."""
+        self.interacted.add(idx)
+        mask = jnp.asarray(mask)
+        mask, _ = pad_divide_by(mask, 16)
+
+        diff = mask - self.get_prob(idx)
+        self.pos_diff = jnp.clip(diff, 0, 1)[1:]
+        self.neg_diff = jnp.clip(-diff, 0, 1)[1:]
+
+        self.set_prob(idx, mask)
+        key_k, key_v = self.memorize_fn(self.prop_params,
+                                        self.get_image(idx), mask[1:])
+        if self.certain_k is None:
+            self.certain_k, self.certain_v = key_k, key_v
+        else:
+            self.certain_k = jnp.concatenate([self.certain_k, key_k], axis=1)
+            self.certain_v = jnp.concatenate([self.certain_v, key_v], axis=1)
+
+        if total_cb is not None:
+            front = min([ti for ti in self.interacted if ti > idx] + [self.t])
+            back = max([ti for ti in self.interacted if ti < idx] + [-1])
+            total = front - back - 2
+            if total > 0:
+                total_cb(total)
+
+        self.do_pass(key_k, key_v, idx, True, step_cb=step_cb)
+        self.do_pass(key_k, key_v, idx, False, step_cb=step_cb)
+        return self._render_masks()
+
+    def update_mask_only(self, prob_mask, idx: int) -> np.ndarray:
+        """Store an interaction without propagating
+        (reference inference_core.py:273-292)."""
+        mask = jnp.asarray(prob_mask)
+        mask, _ = pad_divide_by(mask, 16)
+        self.set_prob(idx, mask)
+        self.np_masks[idx] = self._mask_np(idx)
+        return self.np_masks
+
+    def _mask_np(self, ti: int) -> np.ndarray:
+        lab = np.asarray(self.argmax_fn(self.get_prob(ti)))
+        lw, uw, lh, uh = self.pad
+        return lab[lh: self.nh - uh, lw: self.nw - uw]
+
+    def _render_masks(self) -> np.ndarray:
+        touched = [ti for ti in range(self.t) if self.prob[ti] is not None]
+        if not touched:
+            return self.np_masks
+        lw, uw, lh, uh = self.pad
+        if self.on_device_results:
+            stacked = jnp.stack([self.prob[ti] for ti in touched])
+            labs = np.asarray(self.argmax_batch_fn(stacked))
+        else:
+            stacked = np.stack([self.prob[ti] for ti in touched])
+            labs = np.argmax(stacked[..., 0], axis=1).astype(np.uint8)
+        labs = labs[:, lh: self.nh - uh, lw: self.nw - uw]
+        for i, ti in enumerate(touched):
+            self.np_masks[ti] = labs[i]
+        return self.np_masks

@@ -1,0 +1,86 @@
+"""Bucketed, fixed-capacity space-time memory bank.
+
+The reference pre-allocates a torch buffer sized exactly per pass
+(inference_core.py:136-151) and advances a pointer. Under XLA that exact
+sizing would retrace jit whenever the bank grows, so here the frame-slot
+capacity is rounded up to a bucket (powers of two) and liveness is a
+*scalar* `num_valid` passed to the jitted step — growing within a bucket
+never retraces, and the set of bucket sizes is O(log T) per process.
+
+Layout: keys (K, cap*n, CK), values (K, cap*n, CV) with slot s occupying
+rows [s*n, (s+1)*n). Slot liveness is row-granular: valid rows =
+num_valid_slots * n.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mivos_tpu.utils.tensor import memory_buckets, next_bucket
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=())
+def _write_slot(bank: jax.Array, data: jax.Array, row_start: jax.Array) -> jax.Array:
+    """In-place (donated) write of one frame's (K, n, C) rows at row_start."""
+    return jax.lax.dynamic_update_slice(bank, data, (0, row_start, 0))
+
+
+class MemoryBank:
+    """Host-managed device memory bank for one propagation pass."""
+
+    def __init__(self, k: int, n: int, key_dim: int = 128, val_dim: int = 512,
+                 cap_frames: int = 512, dtype=jnp.float32):
+        self.k, self.n = k, n
+        self.key_dim, self.val_dim = key_dim, val_dim
+        self.buckets = memory_buckets(cap_frames)
+        self.dtype = dtype
+        self.cap = 0
+        self.num_slots = 0  # committed (valid) slots
+        self.keys: Optional[jax.Array] = None
+        self.values: Optional[jax.Array] = None
+
+    def reset(self, total_slots: int,
+              init_k: Optional[jax.Array] = None,
+              init_v: Optional[jax.Array] = None) -> None:
+        """Allocate for a pass needing up to total_slots committed slots
+        (+1 transient), optionally seeding the first slots from
+        (K, s*n, C) certain-memory arrays."""
+        cap = next_bucket(total_slots + 1, self.buckets)
+        self.cap = cap
+        self.keys = jnp.zeros((self.k, cap * self.n, self.key_dim), self.dtype)
+        self.values = jnp.zeros((self.k, cap * self.n, self.val_dim), self.dtype)
+        self.num_slots = 0
+        if init_k is not None:
+            s = init_k.shape[1] // self.n
+            self.keys = jax.lax.dynamic_update_slice(
+                self.keys, init_k.astype(self.dtype), (0, 0, 0))
+            self.values = jax.lax.dynamic_update_slice(
+                self.values, init_v.astype(self.dtype), (0, 0, 0))
+            self.num_slots = s
+
+    def write(self, slot: int, mk: jax.Array, mv: jax.Array) -> None:
+        """Write one frame's keys/values (K, n, C) into `slot` (may be the
+        transient slot == num_slots). Does not change liveness."""
+        assert slot < self.cap, (slot, self.cap)
+        row = jnp.int32(slot * self.n)
+        self.keys = _write_slot(self.keys, mk.astype(self.dtype), row)
+        self.values = _write_slot(self.values, mv.astype(self.dtype), row)
+
+    def commit(self) -> None:
+        """Promote the transient slot to committed."""
+        self.num_slots += 1
+        assert self.num_slots <= self.cap
+
+    def valid_rows(self, include_transient: bool) -> jax.Array:
+        """Scalar count of live rows for the jitted step (not a mask: the
+        mask is materialized inside jit so its *value* can change without
+        retracing)."""
+        slots = self.num_slots + (1 if include_transient else 0)
+        return jnp.int32(slots * self.n)
+
+    @property
+    def total_rows(self) -> int:
+        return self.cap * self.n

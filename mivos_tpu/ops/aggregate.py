@@ -46,6 +46,20 @@ def aggregate_sbg(prob: jax.Array, keep_bg: bool = False, hard: bool = False) ->
     return out if keep_bg else out[1:]
 
 
+def aggregate_wbg_last(prob: jax.Array, keep_bg: bool = False, hard: bool = False):
+    """Class-LAST variant for NHWC training batches: prob (B, H, W, K) ->
+    (logits, softmax) of shape (B, H, W, K+1). Same math as
+    aggregate_wbg_channel (reference model/aggregate.py:39-53)."""
+    bg = jnp.prod(1.0 - prob, axis=-1, keepdims=True)
+    logits = _logit(jnp.concatenate([bg, prob], axis=-1))
+    if hard:
+        logits = logits * 1000.0
+    out = jax.nn.softmax(logits, axis=-1)
+    if keep_bg:
+        return logits, out
+    return logits, out[..., 1:]
+
+
 def aggregate_wbg_channel(prob: jax.Array, keep_bg: bool = False, hard: bool = False):
     """Batched variant aggregating over axis 1; returns (logits, softmax)
     (reference: model/aggregate.py:39-53)."""

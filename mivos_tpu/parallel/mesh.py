@@ -1,0 +1,42 @@
+"""Device mesh + sharding helpers.
+
+The reference's distributed substrate is NCCL DDP + DistributedSampler
+(train.py:27,96). Here it is one jax.sharding.Mesh with a `data` axis;
+XLA inserts the gradient/metric all-reduces from the sharding
+annotations — there is no hand-written transport (SURVEY.md section 2.8).
+Multi-host initialization goes through jax.distributed.initialize.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(f"need {n_devices} devices, have {len(devs)}")
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Leading-axis (batch) sharding for data parallelism."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def maybe_initialize_distributed() -> None:
+    """Multi-host entry (replaces torch.distributed.launch + NCCL init).
+    No-op on single host; env-driven on TPU pods."""
+    import os
+
+    if os.environ.get("MIVOS_MULTIHOST"):
+        jax.distributed.initialize()

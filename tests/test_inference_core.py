@@ -1,0 +1,118 @@
+"""End-to-end InferenceCore session tests on a tiny synthetic video."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mivos_tpu.config import MemoryConfig
+from mivos_tpu.core.inference import InferenceCore, build_step_fns
+from mivos_tpu.models.fusion import FusionNet
+from mivos_tpu.models.propagation import PropagationNetwork
+from mivos_tpu.utils.tensor import one_hot_mask
+
+T, RH, RW, K = 8, 45, 62, 2   # raw size exercises padding (-> 48 x 64)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    prop = PropagationNetwork(top_k=10)
+    fuse = FusionNet()
+    rng = np.random.RandomState(0)
+    frame = jnp.zeros((48, 64, 3))
+    masks = jnp.zeros((K, 48, 64, 1))
+    prop_params = prop.init(jax.random.PRNGKey(0), frame, masks, frame)
+    fuse_params = fuse.init(jax.random.PRNGKey(1), jnp.zeros((K, 48, 64, 3)),
+                            jnp.zeros((K, 48, 64, 1)), jnp.zeros((K, 48, 64, 1)),
+                            jnp.zeros((K, 48, 64, 2)), jnp.zeros((K, 2)))
+    images = rng.rand(T, RH, RW, 3).astype(np.float32)
+    return prop, prop_params, fuse, fuse_params, images
+
+
+def make_interaction_mask(rng, k=K, h=RH, w=RW):
+    labels = jnp.asarray(rng.randint(0, k + 1, (h, w)))
+    fg = one_hot_mask(labels, k)                      # (K, h, w, 1)
+    bg = 1.0 - fg.sum(0, keepdims=True)
+    return jnp.concatenate([bg, fg], axis=0)          # (K+1, h, w, 1)
+
+
+def fresh_core(setup, **mem_kw):
+    prop, pp, fuse, fp, images = setup
+    return InferenceCore(prop, pp, fuse, fp, images, K,
+                         mem=MemoryConfig(top_k=10, mem_freq=2, **mem_kw))
+
+
+def test_single_interaction_propagates_everywhere(setup):
+    core = fresh_core(setup)
+    rng = np.random.RandomState(1)
+    mask = make_interaction_mask(rng)
+    out = core.interact(mask, idx=3)
+    assert out.shape == (T, RH, RW) and out.dtype == np.uint8
+    # every frame received a probability estimate
+    assert all(core.prob[ti] is not None for ti in range(T))
+    # the interacted frame keeps exactly the provided mask's argmax
+    np.testing.assert_array_equal(
+        out[3], np.asarray(jnp.argmax(mask[..., 0], 0)).astype(np.uint8))
+    # probabilities normalized
+    p = np.asarray(core.get_prob(0))
+    np.testing.assert_allclose(p.sum(0), 1.0, atol=1e-4)
+    assert out.max() <= K
+
+
+def test_second_interaction_runs_fusion(setup):
+    core = fresh_core(setup)
+    rng = np.random.RandomState(2)
+    core.interact(make_interaction_mask(rng), idx=0)
+    out = core.interact(make_interaction_mask(rng), idx=T - 1)
+    # frames between 0 and T-1 went through the fusion path
+    assert all(core.prob[ti] is not None for ti in range(T))
+    p = np.asarray(core.get_prob(T // 2))
+    np.testing.assert_allclose(p.sum(0), 1.0, atol=1e-4)
+    assert not np.any(np.isnan(p))
+    assert out.shape == (T, RH, RW)
+
+
+def test_update_mask_only_touches_one_frame(setup):
+    core = fresh_core(setup)
+    rng = np.random.RandomState(3)
+    mask = make_interaction_mask(rng)
+    out = core.update_mask_only(mask, idx=5)
+    assert core.prob[5] is not None
+    assert all(core.prob[ti] is None for ti in range(T) if ti != 5)
+    assert out[4].max() == 0  # untouched frames stay background
+
+
+def test_no_retrace_across_interactions(setup):
+    """Same shapes across rounds must reuse compiled steps."""
+    prop, pp, fuse, fp, images = setup
+    _, _, propagate_step, _, _ = build_step_fns(prop, fuse)
+    core = fresh_core(setup)
+    rng = np.random.RandomState(4)
+    core.interact(make_interaction_mask(rng), idx=2)
+    n_before = propagate_step._cache_size()
+    core.interact(make_interaction_mask(rng), idx=6)
+    core.interact(make_interaction_mask(rng), idx=4)
+    assert propagate_step._cache_size() == n_before
+
+
+def test_host_offload_profile_matches_device(setup):
+    """mem_profile host-offload is a space/time tradeoff, never an
+    accuracy one (reference inference_core.py docstring :22-29)."""
+    rng = np.random.RandomState(5)
+    mask = make_interaction_mask(rng)
+    core0 = fresh_core(setup, mem_profile=0)
+    core2 = fresh_core(setup, mem_profile=2, query_buf_size=1,
+                       image_buf_size=1)
+    out0 = core0.interact(mask, idx=3)
+    out2 = core2.interact(mask, idx=3)
+    np.testing.assert_array_equal(out0, out2)
+    assert isinstance(core2.prob[0], np.ndarray)  # results offloaded
+
+
+def test_memory_bank_commits(setup):
+    core = fresh_core(setup)
+    rng = np.random.RandomState(6)
+    # interact at the last frame: the (final) backward pass covers 7 frames
+    # with mem_freq=2 -> several commits + 1 certain slot survive in bank state
+    core.interact(make_interaction_mask(rng), idx=T - 1)
+    assert core.bank.num_slots >= 3
+    assert core.bank.cap * core.n16 == core.bank.keys.shape[1]
