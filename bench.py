@@ -1,0 +1,78 @@
+"""Headline benchmark: 480p multi-object mask propagation FPS per chip.
+
+Protocol (mirrors the reference's interactive hot path,
+inference_core.py:122-200): one interaction on frame 0 of a 60-frame
+480p video with 3 objects, then a full forward propagation pass —
+each frame runs the query encoder, the top-k=50 memory read over the
+growing bank (mem_freq=5), the decoder, soft aggregation, and the memory
+encoder. Measured on a session with warm compile caches but cold
+per-frame feature buffers (the query encode is part of the work, as in
+the reference's timing).
+
+Baseline: MiVOS propagation runs ~10 FPS at 480p on an RTX 2080Ti (the
+repo publishes no FPS; 10 FPS is the STM-family figure its speed claims
+derive from — see BASELINE.md). vs_baseline = fps / 10.
+"""
+import json
+import time
+
+import numpy as np
+
+BASELINE_FPS = 10.0
+T, RH, RW, K = 60, 480, 854, 3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import mivos_tpu  # noqa: F401  (enables persistent compile cache)
+    from mivos_tpu.config import MemoryConfig
+    from mivos_tpu.core.inference import InferenceCore
+    from mivos_tpu.models.fusion import FusionNet
+    from mivos_tpu.models.propagation import PropagationNetwork
+    from mivos_tpu.utils.tensor import one_hot_mask
+
+    rng = np.random.RandomState(0)
+    prop = PropagationNetwork(top_k=50)
+    fuse = FusionNet()
+    f0 = jnp.zeros((480, 864, 3))
+    m0 = jnp.zeros((K, 480, 864, 1))
+    pp = prop.init(jax.random.PRNGKey(0), f0, m0, f0)
+    fp = fuse.init(jax.random.PRNGKey(1), jnp.zeros((K, 480, 864, 3)),
+                   jnp.zeros((K, 480, 864, 1)), jnp.zeros((K, 480, 864, 1)),
+                   jnp.zeros((K, 480, 864, 2)), jnp.zeros((K, 2)))
+
+    images = rng.rand(T, RH, RW, 3).astype(np.float32)
+    labels = jnp.asarray(rng.randint(0, K + 1, (RH, RW)))
+    fg = one_hot_mask(labels, K)
+    bg = 1 - fg.sum(0, keepdims=True)
+    mask = np.asarray(jnp.concatenate([bg, fg], 0))
+
+    mem = MemoryConfig(top_k=50, mem_freq=5)
+
+    # Warm the compile caches with a throwaway session.
+    warm = InferenceCore(prop, pp, fuse, fp, images, K, mem=mem)
+    warm.interact(mask, 0)
+    del warm
+
+    # Measured: fresh session, one full interaction (forward pass over
+    # T-1 frames with per-frame query encode + memory read + memorize).
+    best = 0.0
+    for _ in range(3):
+        core = InferenceCore(prop, pp, fuse, fp, images, K, mem=mem)
+        t0 = time.time()
+        core.interact(mask, 0)
+        dt = time.time() - t0
+        best = max(best, (T - 1) / dt)
+
+    print(json.dumps({
+        "metric": "propagation_fps_480p_3obj",
+        "value": round(best, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(best / BASELINE_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

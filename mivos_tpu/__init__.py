@@ -19,6 +19,10 @@ def _enable_persistent_compilation_cache() -> None:
         "MIVOS_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "mivos_tpu_xla"),
     )
+    # CPU AOT artifacts are machine-feature-sensitive and compile fast
+    # anyway — only worth persisting TPU executables.
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,169 @@
+"""PyTorch .pth -> flax params converter.
+
+Loading the published MiVOS checkpoints (propagation_model.pth,
+fusion.pth, s2m.pth — reference download_model.py) is required for
+accuracy parity without retraining. This module maps the reference's
+torch state-dict names onto this framework's flax trees:
+
+  torch                             flax (this repo)
+  -----                             ----------------
+  layerN.M.convK.weight             layerN/blockM/convK/kernel (OIHW->HWIO)
+  layerN.M.bnK.{weight,bias,        layerN/blockM/bnK/{scale,bias,
+    running_mean,running_var}         mean,var}
+  layerN.M.downsample.{0,1}         layerN/blockM/downsample_{conv,bn}
+  rgb_encoder.res2.*                rgb_encoder/layer1/*   (the reference
+                                    names torchvision layer1 "res2",
+                                    modules.py:76)
+
+No torch import at module scope: the converter accepts any mapping of
+name -> numpy array (use `load_torch_state_dict` to read a .pth).
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if "network" in sd and isinstance(sd["network"], dict):
+        sd = sd["network"]  # full training checkpoints nest the weights
+    return {k: v.numpy() for k, v in sd.items()
+            if hasattr(v, "numpy")}
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    """OIHW -> HWIO."""
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+
+
+def _set(tree: Dict, path: str, value: np.ndarray) -> None:
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+_BN_MAP = {"weight": "scale", "bias": "bias",
+           "running_mean": "mean", "running_var": "var"}
+
+
+def convert_flat(sd: Mapping[str, np.ndarray],
+                 renames: Tuple[Tuple[str, str], ...] = (),
+                 bn_markers: Tuple[str, ...] = ("bn", "downsample_bn"),
+                 ) -> Dict:
+    """Generic converter: rewrites torch dotted names to flax paths.
+
+    renames: ordered (regex, replacement) pairs applied to each key
+    first. After renaming, a key's final component selects the transform:
+    `weight` on a 4D tensor -> conv kernel; BN stats by _BN_MAP when the
+    parent module name contains a bn marker; 1D weight/bias pass through.
+    """
+    tree: Dict = {}
+    for key, val in sd.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        name = key
+        for pat, rep in renames:
+            name = re.sub(pat, rep, name)
+        parts = name.split(".")
+        leaf = parts[-1]
+        parent = parts[-2] if len(parts) > 1 else ""
+        is_bn = any(m in parent for m in bn_markers)
+        if is_bn:
+            leaf = _BN_MAP[leaf]
+            path = "/".join(parts[:-1] + [leaf])
+            _set(tree, path, np.asarray(val, np.float32))
+        elif leaf == "weight" and val.ndim == 4:
+            path = "/".join(parts[:-1] + ["kernel"])
+            _set(tree, path, _conv_kernel(np.asarray(val, np.float32)))
+        else:
+            path = "/".join(parts)
+            _set(tree, path, np.asarray(val, np.float32))
+    return tree
+
+
+# Rules shared by every ResNet tower in the reference family.
+_RESNET_RULES = (
+    (r"\.layer(\d)\.(\d+)\.", r".layer\1.block\2."),
+    (r"\.downsample\.0\.", r".downsample_conv."),
+    (r"\.downsample\.1\.", r".downsample_bn."),
+)
+
+
+def convert_prop_net(sd: Mapping[str, np.ndarray]) -> Dict:
+    """MiVOS propagation_model.pth -> PropagationNetwork params
+    (reference model/propagation/prop_net.py)."""
+    rules = (
+        (r"^rgb_encoder\.res2\.", "rgb_encoder.layer1."),
+    ) + _RESNET_RULES
+    tree = convert_flat(sd, rules)
+    return {"params": tree}
+
+
+def convert_attention_read(sd: Mapping[str, np.ndarray]) -> Dict:
+    """The training-time AttentionReadNetwork loads the propagation
+    checkpoint with strict=False (reference fusion_model.py:185-188);
+    only the shared encoder/KV towers carry over."""
+    keep = ("mask_rgb_encoder.", "rgb_encoder.", "kv_m_f16.", "kv_q_f16.")
+    sub = {k: v for k, v in sd.items() if k.startswith(keep)}
+    return convert_prop_net(sub)
+
+
+def convert_fusion_net(sd: Mapping[str, np.ndarray]) -> Dict:
+    """fusion.pth -> FusionNet params (reference model/fusion_net.py:12-30:
+    sequentials conv1/conv2/conv3 hold convs at indices 0 and 2)."""
+    rules = (
+        (r"^conv1\.0\.", "conv1."),
+        (r"^conv2\.0\.", "conv2_0."),
+        (r"^conv2\.2\.", "conv2_1."),
+        (r"^conv3\.0\.", "conv3_0."),
+        (r"^conv3\.2\.", "conv3_1."),
+    )
+    return {"params": convert_flat(sd, rules)}
+
+
+def convert_s2m(sd: Mapping[str, np.ndarray]) -> Dict:
+    """s2m.pth -> S2MNetwork params (reference model/s2m/_deeplab.py).
+
+    ASPP sequential indices: convs.0 = 1x1 branch, convs.1-3 = dilated,
+    convs.4 = pooling branch (conv at .1, bn at .2); project at indices
+    0/1; classifier convs at 0 (3x3+bn at 1) and 3 (final 1x1).
+    """
+    rules = _RESNET_RULES + (
+        (r"^classifier\.project\.0\.", "classifier.project.conv."),
+        (r"^classifier\.project\.1\.", "classifier.project.bn."),
+        (r"^classifier\.aspp\.convs\.0\.0\.", "classifier.aspp.b0.conv."),
+        (r"^classifier\.aspp\.convs\.0\.1\.", "classifier.aspp.b0.bn."),
+        (r"^classifier\.aspp\.convs\.([123])\.0\.",
+         r"classifier.aspp.b\1.conv."),
+        (r"^classifier\.aspp\.convs\.([123])\.1\.",
+         r"classifier.aspp.b\1.bn."),
+        (r"^classifier\.aspp\.convs\.4\.1\.", "classifier.aspp.pool_conv.conv."),
+        (r"^classifier\.aspp\.convs\.4\.2\.", "classifier.aspp.pool_conv.bn."),
+        (r"^classifier\.aspp\.project\.0\.", "classifier.aspp.project.conv."),
+        (r"^classifier\.aspp\.project\.1\.", "classifier.aspp.project.bn."),
+        (r"^classifier\.classifier\.0\.", "classifier.classifier0.conv."),
+        (r"^classifier\.classifier\.1\.", "classifier.classifier0.bn."),
+        (r"^classifier\.classifier\.3\.", "classifier.classifier1."),
+    )
+    # BN markers: 'bn' substring covers bn1..bn3 and the renamed heads.
+    return {"params": convert_flat(sd, rules)}
+
+
+def assert_tree_matches(converted: Dict, target: Dict, path: str = "") -> None:
+    """Structural check: every target leaf exists with the right shape."""
+    for k, v in target.items():
+        p = f"{path}/{k}" if path else k
+        if isinstance(v, dict):
+            assert k in converted, f"missing subtree {p}"
+            assert_tree_matches(converted[k], v, p)
+        else:
+            assert k in converted, f"missing leaf {p}"
+            assert tuple(converted[k].shape) == tuple(v.shape), (
+                f"shape mismatch at {p}: {converted[k].shape} vs {v.shape}")

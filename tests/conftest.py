@@ -10,6 +10,8 @@ backend initializes.
 """
 import os
 
+os.environ["MIVOS_NO_CACHE"] = "1"  # don't persist CPU AOT artifacts
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -84,7 +84,7 @@ def test_update_mask_only_touches_one_frame(setup):
 def test_no_retrace_across_interactions(setup):
     """Same shapes across rounds must reuse compiled steps."""
     prop, pp, fuse, fp, images = setup
-    _, _, propagate_step, _, _ = build_step_fns(prop, fuse)
+    propagate_step = build_step_fns(prop, fuse)[2]
     core = fresh_core(setup)
     rng = np.random.RandomState(4)
     core.interact(make_interaction_mask(rng), idx=2)
