@@ -156,6 +156,57 @@ def convert_s2m(sd: Mapping[str, np.ndarray]) -> Dict:
     return {"params": convert_flat(sd, rules)}
 
 
+def convert_fbrs(sd: Mapping[str, np.ndarray]) -> Dict:
+    """fbrs resnet50 .pth -> FBRSDeepLabModel params.
+
+    Sequential index map (reference fbrs/model/is_deeplab_model.py:36-41,
+    modeling/deeplab_v3.py, modeling/resnetv1b.py:120-133,
+    modeling/basic_blocks.py:57-71): rgb_conv indices 0/2/3; deep stem
+    conv1 indices 0/1/3/4/6 + bn1; skip_project 0/1; ASPP concurent
+    0..4 (+pool gap 1/2) and project 0/1; _DeepLabHead block 0/1
+    (separable: body 0 dw, 1 pw, 2 bn) and 2; SepConvHead layers 0/1/2.
+    """
+    rules = _RESNET_RULES + (
+        (r"^rgb_conv\.0\.", "rgb_conv_0."),
+        (r"^rgb_conv\.2\.", "rgb_conv_bn."),
+        (r"^rgb_conv\.3\.", "rgb_conv_1."),
+        (r"^feature_extractor\.backbone\.conv1\.0\.", "backbone.stem0."),
+        (r"^feature_extractor\.backbone\.conv1\.1\.", "backbone.stem_bn0."),
+        (r"^feature_extractor\.backbone\.conv1\.3\.", "backbone.stem1."),
+        (r"^feature_extractor\.backbone\.conv1\.4\.", "backbone.stem_bn1."),
+        (r"^feature_extractor\.backbone\.conv1\.6\.", "backbone.stem2."),
+        (r"^feature_extractor\.backbone\.", "backbone."),
+        (r"^feature_extractor\.skip_project\.skip_project\.0\.",
+         "skip_project_conv."),
+        (r"^feature_extractor\.skip_project\.skip_project\.1\.",
+         "skip_project_bn."),
+        (r"^feature_extractor\.aspp\.concurent\.0\.0\.", "aspp.b0_conv."),
+        (r"^feature_extractor\.aspp\.concurent\.0\.1\.", "aspp.b0_bn."),
+        (r"^feature_extractor\.aspp\.concurent\.([123])\.0\.",
+         r"aspp.b\1_conv."),
+        (r"^feature_extractor\.aspp\.concurent\.([123])\.1\.",
+         r"aspp.b\1_bn."),
+        (r"^feature_extractor\.aspp\.concurent\.4\.gap\.1\.",
+         "aspp.pool_conv."),
+        (r"^feature_extractor\.aspp\.concurent\.4\.gap\.2\.",
+         "aspp.pool_bn."),
+        (r"^feature_extractor\.aspp\.project\.0\.", "aspp.project_conv."),
+        (r"^feature_extractor\.aspp\.project\.1\.", "aspp.project_bn."),
+        (r"^feature_extractor\.head\.block\.([01])\.body\.0\.",
+         r"head_sep\1.dw."),
+        (r"^feature_extractor\.head\.block\.([01])\.body\.1\.",
+         r"head_sep\1.pw."),
+        (r"^feature_extractor\.head\.block\.([01])\.body\.2\.",
+         r"head_sep\1.bn."),
+        (r"^feature_extractor\.head\.block\.2\.", "head_out."),
+        (r"^head\.layers\.([01])\.body\.0\.", r"sep_head\1.dw."),
+        (r"^head\.layers\.([01])\.body\.1\.", r"sep_head\1.pw."),
+        (r"^head\.layers\.([01])\.body\.2\.", r"sep_head\1.bn."),
+        (r"^head\.layers\.2\.", "sep_head_out."),
+    )
+    return {"params": convert_flat(sd, rules)}
+
+
 def assert_tree_matches(converted: Dict, target: Dict, path: str = "") -> None:
     """Structural check: every target leaf exists with the right shape."""
     for k, v in target.items():

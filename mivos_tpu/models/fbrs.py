@@ -1,0 +1,201 @@
+"""f-BRS interactive segmentation model: DistMaps + DeepLabV3+ (gluon
+ResNet-50-v1s, output-stride 8) + separable-conv head.
+
+Reference: fbrs/model/is_deeplab_model.py, fbrs/model/modeling/
+{deeplab_v3,resnetv1b,basic_blocks}.py. Architectural facts preserved
+for checkpoint parity:
+  * deep stem (3x 3x3 convs, stem_width 64 -> 128), bias-free convs
+  * dilated backbone: layer3 stride 1 dil 2 (first block dil 1),
+    layer4 stride 1 dil 4 (first block dil 2)  [resnetv1b.py:137-196]
+  * rgb_conv: 1x1 5->8, LeakyReLU(0.2), BN, 1x1 8->3
+  * ASPP rates 12/24/36 @ os8, project to 256 (+dropout, eval-disabled)
+  * skip_project c1 256->32; head input cat(aspp_up, skip) = 288 ch
+  * ALL interpolations align_corners=True
+All BN frozen (inference-only subsystem).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mivos_tpu.models.layers import FrozenBatchNorm, conv1x1, conv3x3, max_pool_3x3_s2
+from mivos_tpu.ops.distmaps import dist_maps
+from mivos_tpu.ops.resize import bilinear_resize_align_corners as up_ac
+
+
+class V1bBottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    has_downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        out = conv1x1(self.planes, use_bias=False, name="conv1")(x)
+        out = nn.relu(FrozenBatchNorm(self.planes, name="bn1")(out))
+        out = conv3x3(self.planes, stride=self.stride, dilation=self.dilation,
+                      use_bias=False, name="conv2")(out)
+        out = nn.relu(FrozenBatchNorm(self.planes, name="bn2")(out))
+        out = conv1x1(self.planes * 4, use_bias=False, name="conv3")(out)
+        out = FrozenBatchNorm(self.planes * 4, name="bn3")(out)
+        if self.has_downsample:
+            res = conv1x1(self.planes * 4, stride=self.stride, use_bias=False,
+                          name="downsample_conv")(x)
+            res = FrozenBatchNorm(self.planes * 4, name="downsample_bn")(res)
+        else:
+            res = x
+        return nn.relu(out + res)
+
+
+class V1bStage(nn.Module):
+    """resnetv1b _make_layer (resnetv1b.py:154-197): with dilation d>1 the
+    stage keeps stride (=1 at call sites), first block runs at d//2
+    (dilation 4 -> first block 2; dilation 2 -> first block 1)."""
+
+    planes: int
+    blocks: int
+    stride: int = 1
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        first_dil = {1: 1, 2: 1, 4: 2}[self.dilation]
+        needs_ds = self.stride != 1 or x.shape[-1] != self.planes * 4
+        x = V1bBottleneck(self.planes, stride=self.stride, dilation=first_dil,
+                          has_downsample=needs_ds, name="block0")(x)
+        for i in range(1, self.blocks):
+            x = V1bBottleneck(self.planes, dilation=self.dilation,
+                              name=f"block{i}")(x)
+        return x
+
+
+class ResNet50V1s(nn.Module):
+    """Deep-stem dilated resnet50_v1s backbone -> (c1, c2, c3, c4) at
+    strides 4/8/8/8 (resnetv1b.py:228-233 with dilated=True)."""
+
+    stem_width: int = 64
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jax.Array, ...]:
+        sw = self.stem_width
+        x = conv3x3(sw, stride=2, use_bias=False, name="stem0")(x)
+        x = nn.relu(FrozenBatchNorm(sw, name="stem_bn0")(x))
+        x = conv3x3(sw, use_bias=False, name="stem1")(x)
+        x = nn.relu(FrozenBatchNorm(sw, name="stem_bn1")(x))
+        x = conv3x3(2 * sw, use_bias=False, name="stem2")(x)
+        x = nn.relu(FrozenBatchNorm(2 * sw, name="bn1")(x))
+        x = max_pool_3x3_s2(x)
+        c1 = V1bStage(64, 3, name="layer1")(x)
+        c2 = V1bStage(128, 4, stride=2, name="layer2")(c1)
+        c3 = V1bStage(256, 6, stride=1, dilation=2, name="layer3")(c2)
+        c4 = V1bStage(512, 3, stride=1, dilation=4, name="layer4")(c3)
+        return c1, c2, c3, c4
+
+
+class SeparableConvBNReLU(nn.Module):
+    """depthwise 3x3 + pointwise 1x1 + BN + ReLU (basic_blocks.py:57-71)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        x = nn.Conv(in_ch, (3, 3), padding=((1, 1), (1, 1)),
+                    feature_group_count=in_ch, use_bias=False, name="dw")(x)
+        x = conv1x1(self.features, use_bias=False, name="pw")(x)
+        x = FrozenBatchNorm(self.features, name="bn")(x)
+        return nn.relu(x)
+
+
+class FBRSASPP(nn.Module):
+    """_ASPP (deeplab_v3.py:115-147): rates 12/24/36, align-corners
+    pooling upsample, dropout disabled at inference."""
+
+    out_ch: int = 256
+    rates: Tuple[int, int, int] = (12, 24, 36)
+
+    @nn.compact
+    def __call__(self, x):
+        h, w = x.shape[-3], x.shape[-2]
+
+        def cbr(y, kernel, dil, name):
+            if kernel == 1:
+                y = conv1x1(self.out_ch, use_bias=False, name=f"{name}_conv")(y)
+            else:
+                y = conv3x3(self.out_ch, dilation=dil, use_bias=False,
+                            name=f"{name}_conv")(y)
+            return nn.relu(FrozenBatchNorm(self.out_ch, name=f"{name}_bn")(y))
+
+        bs = [cbr(x, 1, 1, "b0")]
+        for i, r in enumerate(self.rates):
+            bs.append(cbr(x, 3, r, f"b{i + 1}"))
+        gp = jnp.mean(x, axis=(-3, -2), keepdims=True)
+        gp = cbr(gp, 1, 1, "pool")
+        bs.append(jnp.broadcast_to(gp, gp.shape[:-3] + (h, w, self.out_ch)))
+        y = jnp.concatenate(bs, axis=-1)
+        return cbr(y, 1, 1, "project")
+
+
+class FBRSDeepLabModel(nn.Module):
+    """DistMapsModel (is_deeplab_model.py:30-66) exposed as three jit
+    targets: full forward, cached head-input, and the small differentiable
+    head replay that f-BRS-B optimizes through."""
+
+    ch: int = 256
+    norm_radius: float = 260.0
+
+    def setup(self):
+        self.rgb_conv_0 = conv1x1(8, name="rgb_conv_0")
+        self.rgb_conv_bn = FrozenBatchNorm(8, name="rgb_conv_bn")
+        self.rgb_conv_1 = conv1x1(3, name="rgb_conv_1")
+        self.backbone = ResNet50V1s(name="backbone")
+        self.skip_project_conv = conv1x1(32, use_bias=False,
+                                         name="skip_project_conv")
+        self.skip_project_bn = FrozenBatchNorm(32, name="skip_project_bn")
+        self.aspp = FBRSASPP(self.ch, name="aspp")
+        self.head_sep0 = SeparableConvBNReLU(self.ch, name="head_sep0")
+        self.head_sep1 = SeparableConvBNReLU(self.ch, name="head_sep1")
+        self.head_out = conv1x1(self.ch, name="head_out")
+        self.sep_head0 = SeparableConvBNReLU(self.ch // 2, name="sep_head0")
+        self.sep_head1 = SeparableConvBNReLU(self.ch // 2, name="sep_head1")
+        self.sep_head_out = conv1x1(1, name="sep_head_out")
+
+    def _rgb_conv(self, image, coord_feat):
+        x = jnp.concatenate([image, coord_feat], axis=-1)
+        x = self.rgb_conv_0(x)
+        x = nn.leaky_relu(x, negative_slope=0.2)
+        x = self.rgb_conv_bn(x)
+        return self.rgb_conv_1(x)
+
+    def head_input(self, image, points):
+        """-> (B, H/4, W/4, ch+32) after-ASPP features: the cached tensor
+        that f-BRS-B scales/biases (brs.py:121-140, insertion_mode
+        'after_aspp')."""
+        coord = dist_maps(points, image.shape[-3], image.shape[-2],
+                          self.norm_radius)
+        x = self._rgb_conv(image, coord)
+        c1, _, _, c4 = self.backbone(x)
+        c1 = nn.relu(self.skip_project_bn(self.skip_project_conv(c1)))
+        a = self.aspp(c4)
+        a = up_ac(a, (c1.shape[-3], c1.shape[-2]))
+        return jnp.concatenate([a, c1], axis=-1)
+
+    def head_replay(self, feats, out_hw: Tuple[int, int]):
+        """The differentiable tail: _DeepLabHead (2 sep convs + 1x1) then
+        SepConvHead then align-corners upsample to out_hw
+        (brs.py:82-103)."""
+        x = self.head_sep0(feats)
+        x = self.head_sep1(x)
+        x = self.head_out(x)
+        x = self.sep_head0(x)
+        x = self.sep_head1(x)
+        x = self.sep_head_out(x)
+        return up_ac(x, out_hw)
+
+    def __call__(self, image, points):
+        """Full forward -> (B, H, W, 1) logits (is_deeplab_model.py:50-66)."""
+        feats = self.head_input(image, points)
+        return self.head_replay(feats, (image.shape[-3], image.shape[-2]))

@@ -55,6 +55,10 @@ def compute_others(masks: jax.Array) -> jax.Array:
 class PropagationNetwork(nn.Module):
     top_k: Optional[int] = 50
     km: Optional[float] = None
+    # exact top-k (sort-based) vs approx_max_k (TPU partial reduce,
+    # ~20x faster at bank sizes; tail-weight misses only). Production
+    # inference uses approx; parity tests set exact.
+    exact_topk: bool = False
 
     def setup(self):
         # 5-channel (RGB + this mask + others mask) memory encoder; the
@@ -100,7 +104,8 @@ class PropagationNetwork(nn.Module):
         _, h16, w16, _ = k16.shape
         qk = k16.reshape(h16 * w16, KEY_DIM)
         readout = mr.memory_read(mem_k, mem_v, qk, top_k=self.top_k,
-                                 valid=valid, km=self.km, query_hw=(h16, w16))
+                                 valid=valid, km=self.km, query_hw=(h16, w16),
+                                 exact=self.exact_topk)
         readout = readout.reshape(k, h16, w16, VAL_DIM)
         qv = jnp.broadcast_to(v16, (k,) + v16.shape[1:])
         m4 = jnp.concatenate([readout, qv], axis=-1)  # (K, h16, w16, 1024)

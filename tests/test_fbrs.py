@@ -1,0 +1,169 @@
+"""f-BRS subsystem: distmaps/resize parity, L-BFGS, model parity vs the
+reference fbrs torch implementation, end-to-end click loop."""
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from mivos_tpu.checkpoint import convert as C
+from mivos_tpu.interactive.clicker import Click, Clicker
+from mivos_tpu.interactive.fbrs_controller import FBRSController
+from mivos_tpu.interactive.fbrs_predictor import FeatureBRSPredictor, ZoomIn
+from mivos_tpu.models.fbrs import FBRSDeepLabModel
+from mivos_tpu.ops.distmaps import dist_maps, pad_points
+from mivos_tpu.ops.lbfgs import lbfgs_minimize
+from mivos_tpu.ops.resize import bilinear_resize_align_corners
+
+from torch_oracle import install_reference_stubs, nchw, nhwc, randomize_, to_numpy_sd
+
+pytestmark = pytest.mark.skipif(not os.path.exists("/root/reference"),
+                                reason="reference checkout not mounted")
+install_reference_stubs()
+
+
+class TestResizeAlignCorners:
+    @pytest.mark.parametrize("shape,out", [((5, 7), (15, 21)),
+                                           ((1, 1), (8, 8)),
+                                           ((4, 4), (3, 9))])
+    def test_matches_torch(self, rng, shape, out):
+        x = rng.rand(2, *shape, 3).astype(np.float32)
+        got = np.asarray(bilinear_resize_align_corners(jnp.asarray(x), out))
+        ref = torch.nn.functional.interpolate(
+            nchw(x), size=out, mode="bilinear", align_corners=True)
+        np.testing.assert_allclose(got, nhwc(ref), atol=1e-5)
+
+
+class TestDistMaps:
+    def test_matches_reference_gpu_path(self, rng):
+        from fbrs.model.ops import DistMaps as RefDistMaps
+
+        h, w, p = 24, 30, 3
+        ref_op = RefDistMaps(norm_radius=26.0, spatial_scale=1.0,
+                             cpu_mode=False)
+        pts = rng.rand(1, 2 * p, 2).astype(np.float32) * 20
+        pts[0, 1] = (-1, -1)   # padded positive slot
+        pts[0, 5] = (-1, -1)   # padded negative slot
+        ref = ref_op.get_coord_features(torch.from_numpy(pts), 1, h, w)
+        got = dist_maps(jnp.asarray(pts), h, w, norm_radius=26.0)
+        np.testing.assert_allclose(np.asarray(got), nhwc(ref), atol=1e-5)
+
+    def test_pad_points(self):
+        pts = pad_points([(1, 2)], [(3, 4), (5, 6)], 4)
+        assert pts.shape == (1, 8, 2)
+        np.testing.assert_array_equal(np.asarray(pts[0, 0]), (1, 2))
+        np.testing.assert_array_equal(np.asarray(pts[0, 4]), (3, 4))
+        assert float(pts[0, 1].max()) == -1.0
+
+
+class TestLBFGS:
+    def test_quadratic(self):
+        a = jnp.asarray(np.diag([1.0, 4.0, 9.0]).astype(np.float32))
+        b = jnp.asarray([1.0, -2.0, 3.0])
+
+        def fun(x):
+            return 0.5 * x @ a @ x - b @ x, ()
+
+        x, info = lbfgs_minimize(fun, jnp.zeros(3), maxiter=50)
+        expected = np.linalg.solve(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(x), expected, atol=1e-4)
+
+    def test_early_stop(self):
+        calls = []
+
+        def fun(x):
+            return jnp.sum(x ** 2), jnp.sum(x ** 2)
+
+        def stop_fn(aux, state):
+            return jnp.asarray(True), state  # stop immediately
+
+        x, info = lbfgs_minimize(fun, jnp.ones(4), maxiter=50,
+                                 stop_fn=stop_fn, stop_state0=jnp.int32(0))
+        assert int(info["iters"]) == 1
+
+
+@pytest.fixture(scope="module")
+def ref_fbrs():
+    from fbrs.model.is_deeplab_model import get_deeplab_model
+
+    net = get_deeplab_model(backbone="resnet50", norm_radius=26).eval()
+    randomize_(net, seed=13)
+    return net
+
+
+@pytest.fixture(scope="module")
+def flax_fbrs(ref_fbrs):
+    net = FBRSDeepLabModel(norm_radius=26.0)
+    params = C.convert_fbrs(to_numpy_sd(ref_fbrs))
+    return net, params
+
+
+class TestFBRSModelParity:
+    def test_full_forward(self, ref_fbrs, flax_fbrs, rng):
+        h, w = 64, 96
+        net, params = flax_fbrs
+        img = rng.rand(1, h, w, 3).astype(np.float32)
+        pts = np.asarray([[[10.0, 12.0], [-1, -1], [30.0, 40.0], [-1, -1]]],
+                         np.float32)
+        with torch.no_grad():
+            ref_out = ref_fbrs(nchw(img), torch.from_numpy(pts))["instances"]
+        got = net.apply(params, jnp.asarray(img), jnp.asarray(pts))
+        np.testing.assert_allclose(np.asarray(got), nhwc(ref_out), atol=3e-4)
+
+    def test_head_input_shape(self, flax_fbrs, rng):
+        net, params = flax_fbrs
+        img = rng.rand(2, 64, 96, 3).astype(np.float32)
+        pts = np.full((2, 4, 2), -1, np.float32)
+        pts[:, 0] = (5, 5)
+        feats = net.apply(params, jnp.asarray(img), jnp.asarray(pts),
+                          method="head_input")
+        assert feats.shape == (2, 16, 24, 288)
+
+
+class TestClicker:
+    def test_places_click_in_error_region(self):
+        gt = np.zeros((40, 40), np.uint8)
+        gt[10:30, 10:30] = 1
+        clicker = Clicker(gt_mask=gt)
+        pred = np.zeros((40, 40), bool)   # everything missed -> FN click
+        clicker.make_next_click(pred)
+        c = clicker.get_clicks()[0]
+        assert c.is_positive
+        y, x = int(c.coords[0]), int(c.coords[1])
+        assert gt[y, x] == 1
+        # now over-segment everything -> negative click outside gt
+        pred = np.ones((40, 40), bool)
+        clicker.make_next_click(pred)
+        c2 = clicker.get_clicks()[1]
+        assert not c2.is_positive
+        assert gt[int(c2.coords[0]), int(c2.coords[1])] == 0
+
+
+class TestEndToEndClicks:
+    def test_click_loop_runs_and_improves(self, flax_fbrs, rng):
+        """3 simulated clicks through the full predictor (zoom, flip,
+        on-device L-BFGS). Random weights: just require valid probability
+        maps, state continuity, undo support."""
+        net, params = flax_fbrs
+        h, w = 64, 96
+        image = rng.rand(h, w, 3).astype(np.float32)
+        gt = np.zeros((h, w), np.uint8)
+        gt[20:50, 30:70] = 1
+        ctrl = FBRSController(net, params)
+        clicker = Clicker(gt_mask=gt)
+        pred = np.zeros((h, w), bool)
+        for i in range(3):
+            clicker._get_next_click(pred)
+            click = clicker._get_next_click(pred)
+            clicker.add_click(click)
+            out = ctrl.interact(image, click.coords[1], click.coords[0],
+                                click.is_positive)
+            assert out.shape == (h, w)
+            assert set(np.unique(out)).issubset({0.0, 1.0})
+            pred = out > 0.5
+        assert len(ctrl.controller.probs_history) == 3
+        undone = ctrl.undo()
+        assert undone is not None and len(ctrl.controller.probs_history) == 2

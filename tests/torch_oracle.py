@@ -84,6 +84,16 @@ def install_reference_stubs():
     import torch.utils.model_zoo as _mz
 
     _mz.load_url = lambda *a, **k: {}
+    # fbrs' Cython BFS dist-maps (CPU path) can't build without Cython;
+    # the GPU/closed-form path never calls it.
+    if "fbrs.utils.cython" not in sys.modules:
+        cy = types.ModuleType("fbrs.utils.cython")
+
+        def _no_cython(*a, **k):
+            raise RuntimeError("cython dist maps stubbed out in tests")
+
+        cy.get_dist_maps = _no_cython
+        sys.modules["fbrs.utils.cython"] = cy
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
 
