@@ -32,12 +32,15 @@ class Decoder(nn.Module):
     """Refinement decoder: 1/16 -> 1/4 with skip connections, then 4x
     bilinear to full resolution (reference: prop_net.py:14-31)."""
 
+    dtype: Optional[str] = None
+
     @nn.compact
     def __call__(self, f16: jax.Array, f8: jax.Array, f4: jax.Array) -> jax.Array:
-        x = ResBlock(512, name="compress")(f16)
-        x = UpsampleBlock(512, 256, name="up_16_8")(f8, x)
-        x = UpsampleBlock(256, 256, name="up_8_4")(f4, x)
-        x = conv3x3(1, name="pred")(nn.relu(x))
+        x = ResBlock(512, name="compress", dtype=self.dtype)(f16)
+        x = UpsampleBlock(512, 256, name="up_16_8", dtype=self.dtype)(f8, x)
+        x = UpsampleBlock(256, 256, name="up_8_4", dtype=self.dtype)(f4, x)
+        x = conv3x3(1, name="pred", dtype=self.dtype)(nn.relu(x))
+        x = x.astype(jnp.float32)
         h, w = x.shape[-3], x.shape[-2]
         return bilinear_resize(x, (h * 4, w * 4))
 
@@ -55,21 +58,28 @@ def compute_others(masks: jax.Array) -> jax.Array:
 class PropagationNetwork(nn.Module):
     top_k: Optional[int] = 50
     km: Optional[float] = None
-    # exact top-k (sort-based) vs approx_max_k (TPU partial reduce,
-    # ~20x faster at bank sizes; tail-weight misses only). Production
-    # inference uses approx; parity tests set exact.
-    exact_topk: bool = False
+    # Memory-read backend: 'auto' = fused Pallas kernel on TPU,
+    # approx_max_k XLA elsewhere; 'xla_exact' = sort-based exact top-k
+    # (the parity oracle used in tests). See ops/memory_read.py.
+    read_backend: str = "auto"
+    # Compute dtype for the conv towers ('bfloat16' for production TPU
+    # inference; params and the affinity softmax stay fp32). The memory
+    # bank inherits this dtype, halving its HBM traffic.
+    dtype: Optional[str] = None
 
     def setup(self):
         # 5-channel (RGB + this mask + others mask) memory encoder; the
         # mod_resnet flavor uses biased convs (mod_resnet.py:119).
         self.mask_rgb_encoder = ResNet50(in_chans=5, num_stages=3,
-                                         conv_bias=True, name="mask_rgb_encoder")
+                                         conv_bias=True, dtype=self.dtype,
+                                         name="mask_rgb_encoder")
         self.rgb_encoder = ResNet50(in_chans=3, num_stages=3, conv_bias=False,
-                                    name="rgb_encoder")
-        self.kv_m_f16 = KeyValue(KEY_DIM, VAL_DIM, name="kv_m_f16")
-        self.kv_q_f16 = KeyValue(KEY_DIM, VAL_DIM, name="kv_q_f16")
-        self.decoder = Decoder(name="decoder")
+                                    dtype=self.dtype, name="rgb_encoder")
+        self.kv_m_f16 = KeyValue(KEY_DIM, VAL_DIM, dtype=self.dtype,
+                                 name="kv_m_f16")
+        self.kv_q_f16 = KeyValue(KEY_DIM, VAL_DIM, dtype=self.dtype,
+                                 name="kv_q_f16")
+        self.decoder = Decoder(dtype=self.dtype, name="decoder")
 
     def memorize(self, frame: jax.Array, masks: jax.Array):
         """frame: (H, W, 3); masks: (K, H, W, 1) soft per-object masks.
@@ -105,7 +115,7 @@ class PropagationNetwork(nn.Module):
         qk = k16.reshape(h16 * w16, KEY_DIM)
         readout = mr.memory_read(mem_k, mem_v, qk, top_k=self.top_k,
                                  valid=valid, km=self.km, query_hw=(h16, w16),
-                                 exact=self.exact_topk)
+                                 backend=self.read_backend)
         readout = readout.reshape(k, h16, w16, VAL_DIM)
         qv = jnp.broadcast_to(v16, (k,) + v16.shape[1:])
         m4 = jnp.concatenate([readout, qv], axis=-1)  # (K, h16, w16, 1024)

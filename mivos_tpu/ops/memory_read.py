@@ -121,6 +121,15 @@ def gaussian_kernelized_weights(
     return wgt / jnp.sum(wgt, axis=-1, keepdims=True)
 
 
+def _resolve_backend(backend: str) -> str:
+    if backend != "auto":
+        return backend
+    # The fused Pallas kernel only lowers on TPU (the axon remote
+    # platform reports 'axon' but compiles Mosaic kernels).
+    plat = jax.devices()[0].platform
+    return "pallas" if plat in ("tpu", "axon") else "xla_approx"
+
+
 def memory_read(
     mem_k: jax.Array,
     mem_v: jax.Array,
@@ -129,7 +138,7 @@ def memory_read(
     valid: Optional[jax.Array] = None,
     km: Optional[float] = None,
     query_hw: Optional[tuple] = None,
-    exact: bool = True,
+    backend: str = "auto",
 ) -> jax.Array:
     """Full memory read (reference EvalMemoryReader, prop_net.py:75-108).
 
@@ -137,14 +146,25 @@ def memory_read(
     mem_v: (K, M, CV)  memory values
     query_k: (N, CK)   query keys, shared across objects
     valid: (M,) bool   live-slot mask
+    backend: 'auto' | 'pallas' (fused kernel; TPU hot path, ~3x the
+      approx-XLA path and ~40x the exact at production bank sizes) |
+      'xla_approx' (approx_max_k) | 'xla_exact' (sort top-k; parity
+      oracle). 'auto' picks pallas on TPU, xla_approx elsewhere. The
+      kernelized (km) variant and top_k=None always use XLA.
     Returns (K, N, CV) readout.
     """
+    backend = _resolve_backend(backend)
+    if backend == "pallas" and km is None and top_k is not None:
+        from mivos_tpu.ops.pallas.memory_read import memory_read_pallas
+
+        return memory_read_pallas(mem_k, mem_v, query_k, top_k=top_k,
+                                  valid=valid)
     aff = affinity_matrix(mem_k, query_k)
     if km is not None:
         assert query_hw is not None and top_k is not None
         wgt = gaussian_kernelized_weights(aff, *query_hw, km, top_k, valid)
     else:
-        wgt = topk_softmax(aff, top_k, valid, exact=exact)
+        wgt = topk_softmax(aff, top_k, valid, exact=(backend == "xla_exact"))
     return jnp.einsum(
         "knm,kmv->knv",
         wgt.astype(mem_v.dtype),

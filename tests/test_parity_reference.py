@@ -50,7 +50,7 @@ def data(rng_mod=np.random.RandomState(7)):
 
 class TestPropagationParity:
     def _flax(self, ref_prop):
-        net = PropagationNetwork(top_k=10, exact_topk=True)
+        net = PropagationNetwork(top_k=10, read_backend="xla_exact")
         params = C.convert_prop_net(to_numpy_sd(ref_prop))
         return net, params
 
