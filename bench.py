@@ -34,8 +34,10 @@ def main():
     from mivos_tpu.utils.tensor import one_hot_mask
 
     rng = np.random.RandomState(0)
-    prop = PropagationNetwork(top_k=50)
-    fuse = FusionNet()
+    # Production TPU configuration: bf16 conv towers + bf16 memory bank
+    # + fused Pallas top-k memory read (read_backend='auto').
+    prop = PropagationNetwork(top_k=50, dtype="bfloat16")
+    fuse = FusionNet(dtype="bfloat16")
     f0 = jnp.zeros((480, 864, 3))
     m0 = jnp.zeros((K, 480, 864, 1))
     pp = prop.init(jax.random.PRNGKey(0), f0, m0, f0)

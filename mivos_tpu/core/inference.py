@@ -34,7 +34,8 @@ from mivos_tpu.core.memory_bank import MemoryBank
 from mivos_tpu.models.fusion import FusionNet
 from mivos_tpu.models.propagation import PropagationNetwork
 from mivos_tpu.ops.aggregate import aggregate_wbg
-from mivos_tpu.utils.tensor import next_bucket, pad_divide_by
+from mivos_tpu.utils.tensor import (dev_f32_pair, dev_i32, next_bucket,
+                                    pad_divide_by)
 
 Query = Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]
 
@@ -140,8 +141,13 @@ class InferenceCore:
         self.pos_diff: Optional[jax.Array] = None   # (K, nh, nw, 1)
         self.neg_diff: Optional[jax.Array] = None
 
+        # Bank storage follows the network compute dtype (bf16 banks
+        # halve the memory-read HBM traffic; memorize emits that dtype).
+        bank_dtype = jnp.bfloat16 if prop_net.dtype == "bfloat16" \
+            else jnp.float32
         self.bank = MemoryBank(self.k, self.n16,
-                               cap_frames=mem.bank_cap_frames)
+                               cap_frames=mem.bank_cap_frames,
+                               dtype=bank_dtype)
 
     # ----- buffered getters (reference inference_core.py:96-120) -----
 
@@ -210,7 +216,7 @@ class InferenceCore:
 
         for ti in this_range:
             rows = self.bank.valid_rows(include_transient=not prev_in_mem)
-            write_row = jnp.int32(m_front * self.n16)
+            write_row = dev_i32(m_front * self.n16)
             f16, f8, f4, k16, v16 = self.get_query(ti)
             agg, self.bank.keys, self.bank.values = self.propagate_step(
                 self.prop_params, self.bank.keys, self.bank.values,
@@ -240,8 +246,7 @@ class InferenceCore:
     def _time_coef(self, tc: int, tr: int, ti: int) -> jax.Array:
         nc = abs(tc - ti) / abs(tc - tr)
         nr = abs(tr - ti) / abs(tc - tr)
-        return jnp.broadcast_to(jnp.asarray([nc, nr], jnp.float32),
-                                (self.k, 2))
+        return jnp.broadcast_to(dev_f32_pair(nc, nr), (self.k, 2))
 
     def interact(self, mask, idx: int,
                  total_cb: Optional[Callable] = None,

@@ -19,7 +19,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from mivos_tpu.utils.tensor import memory_buckets, next_bucket
+from mivos_tpu.utils.tensor import dev_i32, memory_buckets, next_bucket
 
 
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=())
@@ -65,7 +65,7 @@ class MemoryBank:
         """Write one frame's keys/values (K, n, C) into `slot` (may be the
         transient slot == num_slots). Does not change liveness."""
         assert slot < self.cap, (slot, self.cap)
-        row = jnp.int32(slot * self.n)
+        row = dev_i32(slot * self.n)
         self.keys = _write_slot(self.keys, mk.astype(self.dtype), row)
         self.values = _write_slot(self.values, mv.astype(self.dtype), row)
 
@@ -79,7 +79,7 @@ class MemoryBank:
         mask is materialized inside jit so its *value* can change without
         retracing)."""
         slots = self.num_slots + (1 if include_transient else 0)
-        return jnp.int32(slots * self.n)
+        return dev_i32(slots * self.n)
 
     @property
     def total_rows(self) -> int:

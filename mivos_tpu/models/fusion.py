@@ -24,21 +24,24 @@ from mivos_tpu.ops.resize import area_downsample, bilinear_resize
 class FusionNet(nn.Module):
     """9ch -> 32ch residual blocks -> 1ch logit (reference fusion_net.py:8-50)."""
 
+    dtype: str = None
+
     @nn.compact
     def __call__(self, im, seg1, seg2, attn, time_coef):
         """im: (K, H, W, 3); seg1/seg2: (K, H, W, 1); attn: (K, H, W, 2);
         time_coef: (K, 2) broadcast over space. Returns (K, H, W, 1) logits."""
         k, h, w, _ = im.shape
+        d = self.dtype
         t = jnp.broadcast_to(time_coef[:, None, None, :], (k, h, w, 2))
         x = jnp.concatenate([im, seg1, seg2, attn, t], axis=-1)
-        x = nn.relu(conv3x3(32, name="conv1")(x))
-        r = conv3x3(32, name="conv2_0")(x)
-        r = conv3x3(32, name="conv2_1")(nn.relu(r))
+        x = nn.relu(conv3x3(32, name="conv1", dtype=d)(x))
+        r = conv3x3(32, name="conv2_0", dtype=d)(x)
+        r = conv3x3(32, name="conv2_1", dtype=d)(nn.relu(r))
         x = nn.relu(x + r)
-        r = conv3x3(32, name="conv3_0")(x)
-        r = conv3x3(32, name="conv3_1")(nn.relu(r))
+        r = conv3x3(32, name="conv3_0", dtype=d)(x)
+        r = conv3x3(32, name="conv3_1", dtype=d)(nn.relu(r))
         x = nn.relu(x + r)
-        return conv3x3(1, name="final_conv")(x)
+        return conv3x3(1, name="final_conv", dtype=d)(x).astype(jnp.float32)
 
 
 class AttentionReadNetwork(nn.Module):

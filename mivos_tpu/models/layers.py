@@ -19,6 +19,16 @@ import jax.numpy as jnp
 from mivos_tpu.ops.resize import upsample2x
 
 
+def compute_dtype(name: Optional[str]):
+    """Compute-dtype policy: params stay fp32; convs/activations run in
+    `name` ('bfloat16' keeps the MXU at full rate — the analog of the
+    reference GUI's AMP autocast, interactive_gui.py:990). None/'float32'
+    = full precision (the parity-test default)."""
+    if name in (None, "float32"):
+        return None
+    return jnp.dtype(name)
+
+
 class FrozenBatchNorm(nn.Module):
     """BatchNorm with frozen statistics; a per-channel affine transform."""
 
@@ -39,17 +49,19 @@ class FrozenBatchNorm(nn.Module):
 
 
 def conv3x3(features: int, stride: int = 1, dilation: int = 1,
-            use_bias: bool = True, name: Optional[str] = None) -> nn.Conv:
+            use_bias: bool = True, name: Optional[str] = None,
+            dtype: Optional[str] = None) -> nn.Conv:
     return nn.Conv(features, (3, 3), strides=(stride, stride),
                    padding=((dilation, dilation), (dilation, dilation)),
                    kernel_dilation=(dilation, dilation),
-                   use_bias=use_bias, name=name)
+                   use_bias=use_bias, name=name, dtype=compute_dtype(dtype))
 
 
 def conv1x1(features: int, stride: int = 1, use_bias: bool = True,
-            name: Optional[str] = None) -> nn.Conv:
+            name: Optional[str] = None,
+            dtype: Optional[str] = None) -> nn.Conv:
     return nn.Conv(features, (1, 1), strides=(stride, stride), padding="VALID",
-                   use_bias=use_bias, name=name)
+                   use_bias=use_bias, name=name, dtype=compute_dtype(dtype))
 
 
 class ResBlock(nn.Module):
@@ -57,14 +69,15 @@ class ResBlock(nn.Module):
     (reference: model/propagation/modules.py:15-35)."""
 
     out_dim: int
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         in_dim = x.shape[-1]
-        r = conv3x3(self.out_dim, name="conv1")(nn.relu(x))
-        r = conv3x3(self.out_dim, name="conv2")(nn.relu(r))
+        r = conv3x3(self.out_dim, name="conv1", dtype=self.dtype)(nn.relu(x))
+        r = conv3x3(self.out_dim, name="conv2", dtype=self.dtype)(nn.relu(r))
         if in_dim != self.out_dim:
-            x = conv3x3(self.out_dim, name="downsample")(x)
+            x = conv3x3(self.out_dim, name="downsample", dtype=self.dtype)(x)
         return x + r
 
 
@@ -74,13 +87,14 @@ class UpsampleBlock(nn.Module):
 
     up_dim: int
     out_dim: int
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, skip_f: jax.Array, up_f: jax.Array) -> jax.Array:
-        x = conv3x3(self.up_dim, name="skip_conv1")(skip_f)
-        x = ResBlock(self.up_dim, name="skip_conv2")(x)
-        x = x + upsample2x(up_f)
-        return ResBlock(self.out_dim, name="out_conv")(x)
+        x = conv3x3(self.up_dim, name="skip_conv1", dtype=self.dtype)(skip_f)
+        x = ResBlock(self.up_dim, name="skip_conv2", dtype=self.dtype)(x)
+        x = x + upsample2x(up_f).astype(x.dtype)
+        return ResBlock(self.out_dim, name="out_conv", dtype=self.dtype)(x)
 
 
 class KeyValue(nn.Module):
@@ -89,11 +103,12 @@ class KeyValue(nn.Module):
 
     key_dim: int = 128
     val_dim: int = 512
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array):
-        k = conv3x3(self.key_dim, name="key_proj")(x)
-        v = conv3x3(self.val_dim, name="val_proj")(x)
+        k = conv3x3(self.key_dim, name="key_proj", dtype=self.dtype)(x)
+        v = conv3x3(self.val_dim, name="val_proj", dtype=self.dtype)(x)
         return k, v
 
 

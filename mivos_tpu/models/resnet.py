@@ -20,7 +20,8 @@ from typing import Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 
-from mivos_tpu.models.layers import FrozenBatchNorm, conv1x1, conv3x3, max_pool_3x3_s2
+from mivos_tpu.models.layers import (FrozenBatchNorm, compute_dtype,
+                                     conv1x1, conv3x3, max_pool_3x3_s2)
 
 
 class Bottleneck(nn.Module):
@@ -30,22 +31,25 @@ class Bottleneck(nn.Module):
     has_downsample: bool = False
     conv_bias: bool = False
     expansion: int = 4
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        out = conv1x1(self.planes, use_bias=self.conv_bias, name="conv1")(x)
+        out = conv1x1(self.planes, use_bias=self.conv_bias, name="conv1", dtype=self.dtype)(x)
         out = FrozenBatchNorm(self.planes, name="bn1")(out)
         out = nn.relu(out)
         out = conv3x3(self.planes, stride=self.stride, dilation=self.dilation,
-                      use_bias=self.conv_bias, name="conv2")(out)
+                      use_bias=self.conv_bias, name="conv2",
+                      dtype=self.dtype)(out)
         out = FrozenBatchNorm(self.planes, name="bn2")(out)
         out = nn.relu(out)
         out = conv1x1(self.planes * self.expansion, use_bias=self.conv_bias,
-                      name="conv3")(out)
+                      name="conv3", dtype=self.dtype)(out)
         out = FrozenBatchNorm(self.planes * self.expansion, name="bn3")(out)
         if self.has_downsample:
             res = conv1x1(self.planes * self.expansion, stride=self.stride,
-                          use_bias=self.conv_bias, name="downsample_conv")(x)
+                          use_bias=self.conv_bias, name="downsample_conv",
+                          dtype=self.dtype)(x)
             res = FrozenBatchNorm(self.planes * self.expansion,
                                   name="downsample_bn")(res)
         else:
@@ -68,6 +72,7 @@ class ResNetStage(nn.Module):
     dilate: bool = False
     prev_dilation: int = 1
     conv_bias: bool = False
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -81,10 +86,11 @@ class ResNetStage(nn.Module):
         needs_ds = first_stride != 1 or x.shape[-1] != self.planes * 4
         x = Bottleneck(self.planes, stride=first_stride, dilation=first_dilation,
                        has_downsample=needs_ds, conv_bias=self.conv_bias,
-                       name="block0")(x)
+                       dtype=self.dtype, name="block0")(x)
         for i in range(1, self.blocks):
             x = Bottleneck(self.planes, dilation=rest_dilation,
-                           conv_bias=self.conv_bias, name=f"block{i}")(x)
+                           conv_bias=self.conv_bias, dtype=self.dtype,
+                           name=f"block{i}")(x)
         return x
 
 
@@ -103,23 +109,28 @@ class ResNet50(nn.Module):
     layer4_dilation: int = 1
     conv_bias: bool = False
     stem_bias: Optional[bool] = None
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> Tuple[jax.Array, ...]:
         stem_bias = self.conv_bias if self.stem_bias is None else self.stem_bias
+        if compute_dtype(self.dtype) is not None:
+            x = x.astype(compute_dtype(self.dtype))
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=stem_bias, name="conv1")(x)
+                    use_bias=stem_bias, name="conv1",
+                    dtype=compute_dtype(self.dtype))(x)
         x = FrozenBatchNorm(64, name="bn1")(x)
         x = nn.relu(x)
         x = max_pool_3x3_s2(x)
         f4 = ResNetStage(64, 3, stride=1, conv_bias=self.conv_bias,
-                         name="layer1")(x)
+                         dtype=self.dtype, name="layer1")(x)
         f8 = ResNetStage(128, 4, stride=2, conv_bias=self.conv_bias,
-                         name="layer2")(f4)
+                         dtype=self.dtype, name="layer2")(f4)
         f16 = ResNetStage(256, 6, stride=2, conv_bias=self.conv_bias,
-                          name="layer3")(f8)
+                          dtype=self.dtype, name="layer3")(f8)
         if self.num_stages == 3:
             return f16, f8, f4
         f32 = ResNetStage(512, 3, stride=2, dilate=self.layer4_dilation > 1,
-                          conv_bias=self.conv_bias, name="layer4")(f16)
+                          conv_bias=self.conv_bias, dtype=self.dtype,
+                          name="layer4")(f16)
         return f32, f16, f8, f4

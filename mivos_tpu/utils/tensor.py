@@ -17,6 +17,22 @@ import numpy as np
 Pad = Tuple[int, int, int, int]  # (left_w, right_w, top_h, bottom_h)
 
 
+@functools.lru_cache(maxsize=65536)
+def dev_i32(v: int) -> jax.Array:
+    """Cached scalar device_put. On remote-attached TPUs a host->device
+    scalar transfer costs tens of ms; inference loops pass schedule
+    scalars (bank row counts, write offsets) every frame, so they are
+    interned here — the value set is small (multiples of the per-frame
+    token count)."""
+    return jnp.int32(v)
+
+
+@functools.lru_cache(maxsize=65536)
+def dev_f32_pair(a: float, b: float) -> jax.Array:
+    """Cached (2,) float32 device constant (fusion time coefficients)."""
+    return jnp.asarray([a, b], jnp.float32)
+
+
 def compute_pad(h: int, w: int, d: int = 16) -> Pad:
     """Symmetric padding amounts that round (h, w) up to multiples of d.
 
