@@ -1,0 +1,56 @@
+"""DAVIS 2017 interactive evaluation entry point (reference:
+eval_interactive_davis.py). Requires the `davisinteractive` package and
+the converted MiVOS checkpoints.
+
+  python eval_interactive_davis.py --davis ../DAVIS/2017 --output out \
+      --prop_model saves/propagation_model.pth \
+      --fusion_model saves/fusion.pth --s2m_model saves/s2m.pth
+"""
+import argparse
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--prop_model", default="saves/propagation_model.pth")
+    p.add_argument("--fusion_model", default="saves/fusion.pth")
+    p.add_argument("--s2m_model", default="saves/s2m.pth")
+    p.add_argument("--davis", default="../DAVIS/2017")
+    p.add_argument("--output", required=True)
+    p.add_argument("--save_mask", action="store_true")
+    p.add_argument("--mem_freq", type=int, default=5)
+    p.add_argument("--top_k", type=int, default=50)
+    p.add_argument("--dtype", default="bfloat16",
+                   help="conv-tower compute dtype (bfloat16|float32)")
+    args = p.parse_args()
+
+    import jax
+
+    from mivos_tpu.checkpoint import (convert_fusion_net, convert_prop_net,
+                                      convert_s2m, load_torch_state_dict)
+    from mivos_tpu.config import MemoryConfig
+    from mivos_tpu.eval.davis_interactive import run_davis_interactive
+    from mivos_tpu.models.fusion import FusionNet
+    from mivos_tpu.models.propagation import PropagationNetwork
+    from mivos_tpu.models.s2m import S2MNetwork as S2M
+
+    dtype = None if args.dtype == "float32" else args.dtype
+    prop_net = PropagationNetwork(top_k=args.top_k, dtype=dtype)
+    prop_params = {"params": convert_prop_net(
+        load_torch_state_dict(args.prop_model))}
+    fuse_net = FusionNet(dtype=dtype)
+    fuse_params = {"params": convert_fusion_net(
+        load_torch_state_dict(args.fusion_model))}
+    s2m_net = S2M()
+    s2m_params = {"params": convert_s2m(
+        load_torch_state_dict(args.s2m_model))}
+
+    summary = run_davis_interactive(
+        prop_net, prop_params, fuse_net, fuse_params, s2m_net, s2m_params,
+        davis_root=args.davis, out_path=args.output,
+        save_mask=args.save_mask,
+        mem=MemoryConfig(top_k=args.top_k, mem_freq=args.mem_freq))
+    print(summary)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""DAVIS interactive-bot evaluation loop.
+
+Reference: eval_interactive_davis.py — the official `davisinteractive`
+bot simulates a user for up to 8 scribble rounds per sequence and
+reports AUC-J&F / J&F@60s. The protocol package is framework-agnostic;
+only the processor behind `interact` differs. Import of
+`davisinteractive` is deferred so the rest of the framework works
+without it.
+"""
+from __future__ import annotations
+
+import os
+from os import path
+from typing import Dict, Optional
+
+import numpy as np
+
+from mivos_tpu.config import MemoryConfig
+from mivos_tpu.core.davis_processor import DAVISProcessor
+from mivos_tpu.data.video_datasets import DAVISTestDataset
+from mivos_tpu.utils.palette import save_indexed_png
+
+
+def run_davis_interactive(prop_net, prop_params, fuse_net, fuse_params,
+                          s2m_net, s2m_params, davis_root: str,
+                          out_path: str,
+                          max_nb_interactions: int = 8,
+                          max_time_per_interaction: int = 30,
+                          save_mask: bool = False,
+                          mem: MemoryConfig = MemoryConfig()) -> Dict:
+    """Runs the full DavisInteractiveSession and returns the global
+    summary dict (AUC-J&F, J&F@60s — reference
+    eval_interactive_davis.py:74-108)."""
+    from davisinteractive.session.session import DavisInteractiveSession
+
+    os.makedirs(out_path, exist_ok=True)
+    trainval = path.join(davis_root, "trainval")
+    dataset = DAVISTestDataset(trainval, imset="2017/val.txt")
+    images: Dict[str, np.ndarray] = {}
+    num_objects: Dict[str, int] = {}
+    for i in range(len(dataset)):
+        d = dataset[i]
+        name = d["info"]["name"]
+        images[name] = d["rgb"]
+        num_objects[name] = len(d["info"]["labels"])
+    print(f"Finished loading {len(images)} sequences.")
+
+    processor: Optional[DAVISProcessor] = None
+    pred_masks = None
+    last_seq = None
+    user_iter = 0
+
+    with DavisInteractiveSession(
+            davis_root=trainval, report_save_dir=out_path,
+            max_nb_interactions=max_nb_interactions,
+            max_time=max_nb_interactions * max_time_per_interaction) as sess:
+        while sess.next():
+            sequence, scribbles, new_seq = sess.get_scribbles(only_last=True)
+            if new_seq:
+                # All per-sequence cached features are flushed here, as
+                # in the reference (eval_interactive_davis.py:79-84).
+                del processor
+                processor = DAVISProcessor(
+                    prop_net, prop_params, fuse_net, fuse_params,
+                    s2m_net, s2m_params, images[sequence],
+                    num_objects[sequence], mem=mem)
+                print(sequence)
+                if save_mask and pred_masks is not None:
+                    _save_masks(out_path, user_iter, last_seq, pred_masks)
+                if last_seq is None or sequence != last_seq:
+                    last_seq, user_iter = sequence, 0
+                else:
+                    user_iter += 1
+
+            pred_masks, next_masks, _ = processor.interact(scribbles)
+            sess.submit_masks(pred_masks, next_masks)
+
+        if save_mask and pred_masks is not None:
+            _save_masks(out_path, user_iter, last_seq, pred_masks)
+        summary = sess.get_global_summary(
+            save_file=path.join(out_path, "summary.json"))
+    return summary
+
+
+def _save_masks(out_path: str, user_iter: int, seq: str,
+                pred_masks: np.ndarray) -> None:
+    seq_path = path.join(out_path, str(user_iter), seq)
+    os.makedirs(seq_path, exist_ok=True)
+    for i in range(len(pred_masks)):
+        save_indexed_png(path.join(seq_path, f"{i:05d}.png"),
+                         pred_masks[i])
