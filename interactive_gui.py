@@ -1,0 +1,272 @@
+"""PyQt5 interactive VOS tool (reference: interactive_gui.py).
+
+A thin event-routing layer over mivos_tpu.interactive.gui_session.
+All interaction/overlay/undo/propagation logic lives in GuiSession and
+is covered by headless tests; this file is only widgets.
+
+  python interactive_gui.py --video example.mp4 --num_objects 2 \
+      --prop_model saves/propagation_model.pth \
+      --fusion_model saves/fusion.pth --s2m_model saves/s2m.pth \
+      --fbrs_model saves/fbrs.pth
+"""
+import argparse
+import functools
+import sys
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--prop_model", default="saves/propagation_model.pth")
+    p.add_argument("--fusion_model", default="saves/fusion.pth")
+    p.add_argument("--s2m_model", default="saves/s2m.pth")
+    p.add_argument("--fbrs_model", default="saves/fbrs.pth")
+    p.add_argument("--images", help="folder of frames")
+    p.add_argument("--video", help="video file")
+    p.add_argument("--masks", help="optional folder of initial masks")
+    p.add_argument("--num_objects", type=int, default=1)
+    p.add_argument("--mem_freq", type=int, default=5)
+    p.add_argument("--mem_profile", type=int, default=0)
+    p.add_argument("--resolution", type=int, default=480)
+    p.add_argument("--dtype", default="bfloat16")
+    return p.parse_args()
+
+
+def build_session(args):
+    from mivos_tpu.checkpoint import (convert_fbrs, convert_fusion_net,
+                                      convert_prop_net, convert_s2m,
+                                      load_torch_state_dict)
+    from mivos_tpu.config import MemoryConfig
+    from mivos_tpu.data.transforms import im_normalize
+    from mivos_tpu.interactive.fbrs_controller import FBRSController
+    from mivos_tpu.interactive.gui_session import GuiSession
+    from mivos_tpu.interactive.s2m_controller import S2MController
+    from mivos_tpu.interactive.video_io import load_images, load_video
+    from mivos_tpu.models.fbrs import FBRSDeepLabModel
+    from mivos_tpu.models.fusion import FusionNet
+    from mivos_tpu.models.propagation import PropagationNetwork
+    from mivos_tpu.models.s2m import S2MNetwork
+
+    dtype = None if args.dtype == "float32" else args.dtype
+    if args.video:
+        frames = load_video(args.video, min_side=args.resolution)
+    elif args.images:
+        frames = load_images(args.images, min_side=args.resolution)
+    else:
+        raise SystemExit("provide --video or --images")
+    images = im_normalize(frames.astype("float32") / 255.0)
+
+    prop_net = PropagationNetwork(dtype=dtype)
+    prop_params = {"params": convert_prop_net(
+        load_torch_state_dict(args.prop_model))}
+    fuse_net = FusionNet(dtype=dtype)
+    fuse_params = {"params": convert_fusion_net(
+        load_torch_state_dict(args.fusion_model))}
+    s2m = S2MNetwork()
+    s2m_params = {"params": convert_s2m(
+        load_torch_state_dict(args.s2m_model))}
+    fbrs = FBRSDeepLabModel()
+    fbrs_params = {"params": convert_fbrs(
+        load_torch_state_dict(args.fbrs_model))}
+
+    s2m_ctrl = S2MController(s2m, s2m_params, args.num_objects)
+    fbrs_ctrl = FBRSController(fbrs, fbrs_params)
+    return GuiSession(
+        prop_net, prop_params, fuse_net, fuse_params, s2m_ctrl, fbrs_ctrl,
+        images, args.num_objects,
+        mem=MemoryConfig(mem_freq=args.mem_freq,
+                         mem_profile=args.mem_profile)), frames
+
+
+def main():
+    args = parse_args()
+    try:
+        from PyQt5.QtCore import Qt, QTimer
+        from PyQt5.QtGui import QImage, QPixmap
+        from PyQt5.QtWidgets import (QApplication, QButtonGroup, QComboBox,
+                                     QHBoxLayout, QLabel, QPlainTextEdit,
+                                     QPushButton, QRadioButton, QSlider,
+                                     QVBoxLayout, QWidget)
+    except ImportError:
+        raise SystemExit(
+            "PyQt5 is required for the GUI. The headless API "
+            "(mivos_tpu.interactive.gui_session.GuiSession) provides the "
+            "same functionality programmatically.")
+
+    session, frames = build_session(args)
+
+    class App(QWidget):
+        def __init__(self):
+            super().__init__()
+            self.session = session
+            self.setWindowTitle("MiVOS-TPU")
+            self.mode = "free"
+            self.pressed = False
+            self.right_click = False
+
+            self.main_canvas = QLabel()
+            self.main_canvas.setMouseTracking(True)
+            self.main_canvas.mousePressEvent = self.on_press
+            self.main_canvas.mouseMoveEvent = self.on_motion
+            self.main_canvas.mouseReleaseEvent = self.on_release
+
+            self.tl_slider = QSlider(Qt.Horizontal)
+            self.tl_slider.setMaximum(session.t - 1)
+            self.tl_slider.valueChanged.connect(self.tl_slide)
+            self.brush_slider = QSlider(Qt.Horizontal)
+            self.brush_slider.setMinimum(1)
+            self.brush_slider.setMaximum(100)
+            self.brush_slider.setValue(3)
+            self.brush_slider.valueChanged.connect(self.brush_slide)
+
+            self.play_button = QPushButton("Play")
+            self.play_button.clicked.connect(self.on_play)
+            self.run_button = QPushButton("Propagate")
+            self.run_button.clicked.connect(self.on_run)
+            self.undo_button = QPushButton("Undo")
+            self.undo_button.clicked.connect(self.on_undo)
+            self.save_button = QPushButton("Save")
+            self.save_button.clicked.connect(self.on_save)
+
+            self.radio_group = QButtonGroup(self)
+            radios = QHBoxLayout()
+            for name in ["Click", "Scribble", "Free"]:
+                r = QRadioButton(name)
+                self.radio_group.addButton(r)
+                radios.addWidget(r)
+                r.toggled.connect(functools.partial(self.set_mode,
+                                                    name.lower()))
+                if name == "Free":
+                    r.setChecked(True)
+
+            self.combo = QComboBox()
+            self.combo.addItems(["davis", "fade", "light"])
+            self.combo.currentTextChanged.connect(self.set_viz)
+
+            self.console = QPlainTextEdit()
+            self.console.setReadOnly(True)
+
+            layout = QVBoxLayout()
+            layout.addWidget(self.main_canvas)
+            layout.addWidget(self.tl_slider)
+            row = QHBoxLayout()
+            for w in [self.play_button, self.run_button, self.undo_button,
+                      self.save_button, self.combo]:
+                row.addWidget(w)
+            layout.addLayout(row)
+            layout.addLayout(radios)
+            layout.addWidget(QLabel("Brush size"))
+            layout.addWidget(self.brush_slider)
+            layout.addWidget(self.console)
+            self.setLayout(layout)
+
+            self.play_timer = QTimer(self)
+            self.play_timer.timeout.connect(self.next_frame)
+            self.refresh()
+
+        # --- helpers ---
+        def log(self, text):
+            self.console.appendPlainText(
+                f"{self.session.status_prefix()} {text}")
+
+        def refresh(self):
+            rgb = self.session.compose_frame(
+                frames[self.session.cursur].astype("float32") / 255.0)
+            h, w, _ = rgb.shape
+            img = QImage(rgb.data, w, h, 3 * w, QImage.Format_RGB888)
+            self.main_canvas.setPixmap(QPixmap.fromImage(img))
+
+        def canvas_pos(self, event):
+            return event.x(), event.y()
+
+        # --- slots ---
+        def set_mode(self, mode, checked):
+            if checked:
+                self.mode = mode
+
+        def set_viz(self, mode):
+            self.session.viz_mode = mode
+            self.refresh()
+
+        def tl_slide(self, value):
+            self.session.goto(value)
+            self.refresh()
+
+        def brush_slide(self, value):
+            self.session.brush_size = value
+
+        def next_frame(self):
+            nxt = (self.session.cursur + 1) % self.session.t
+            self.tl_slider.setValue(nxt)
+
+        def on_play(self):
+            if self.play_timer.isActive():
+                self.play_timer.stop()
+            else:
+                self.play_timer.start(1000 // 25)
+
+        def on_run(self):
+            self.log("Propagation started.")
+            masks = self.session.run_propagation(
+                step_cb=QApplication.processEvents)
+            del masks
+            self.refresh()
+            self.log("Propagation done.")
+
+        def on_undo(self):
+            if self.session.undo():
+                self.refresh()
+                self.log("Undone.")
+
+        def on_save(self):
+            self.session.save_masks("masks_out")
+            self.session.save_overlays("overlays_out")
+            self.log("Saved to masks_out/ + overlays_out/.")
+
+        def keyPressEvent(self, event):
+            key = event.text()
+            if key.isdigit() and int(key) > 0 and \
+                    int(key) <= self.session.num_objects:
+                self.session.set_object(int(key))
+                self.log(f"Current object: {key}")
+
+        # --- canvas events ---
+        def on_press(self, event):
+            x, y = self.canvas_pos(event)
+            self.pressed = True
+            self.right_click = event.button() != Qt.LeftButton
+            self.session.start_interaction(self.mode)
+            if self.mode == "click":
+                self.session.push_point(x, y, self.right_click)
+                self.session.predict()
+                self.refresh()
+            else:
+                obj = 0 if self.right_click else self.session.current_object
+                self.session.push_point(x, y, obj)
+
+        def on_motion(self, event):
+            if not self.pressed or self.mode == "click":
+                return
+            x, y = self.canvas_pos(event)
+            obj = 0 if self.right_click else self.session.current_object
+            self.session.push_point(x, y, obj)
+
+        def on_release(self, event):
+            if not self.pressed:
+                return
+            self.pressed = False
+            if self.mode != "click":
+                x, y = self.canvas_pos(event)
+                obj = 0 if self.right_click else self.session.current_object
+                self.session.push_point(x, y, obj)
+                self.session.end_path()
+            self.session.predict()
+            self.refresh()
+
+    app = QApplication(sys.argv)
+    w = App()
+    w.show()
+    sys.exit(app.exec_())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,144 @@
+"""Headless GUI session: interaction hierarchy, undo stacks, local
+control, overlay composition (reference interactive_gui.py behaviors,
+minus widgets)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mivos_tpu.config import MemoryConfig
+from mivos_tpu.interactive.gui_session import GuiSession
+from mivos_tpu.interactive.interaction import (CropperInteraction,
+                                               FreeInteraction,
+                                               LocalInteraction)
+from mivos_tpu.interactive.s2m_controller import S2MController
+from mivos_tpu.models.fusion import FusionNet
+from mivos_tpu.models.propagation import PropagationNetwork
+from mivos_tpu.models.s2m import S2MNetwork
+
+T, H, W, K = 4, 48, 64, 2
+
+
+@pytest.fixture(scope="module")
+def session():
+    rng = np.random.RandomState(0)
+    prop = PropagationNetwork(top_k=10)
+    f0 = jnp.zeros((H, W, 3))
+    pp = prop.init(jax.random.PRNGKey(0), f0, jnp.zeros((K, H, W, 1)), f0)
+    fuse = FusionNet()
+    fp = fuse.init(jax.random.PRNGKey(1), jnp.zeros((K, H, W, 3)),
+                   jnp.zeros((K, H, W, 1)), jnp.zeros((K, H, W, 1)),
+                   jnp.zeros((K, H, W, 2)), jnp.zeros((K, 2)))
+    s2m = S2MNetwork()
+    sp = s2m.init(jax.random.PRNGKey(2), jnp.zeros((K, H, W, 6)))
+    s2m_ctrl = S2MController(s2m, sp, K)
+    images = rng.rand(T, H, W, 3).astype(np.float32)
+    return GuiSession(prop, pp, fuse, fp, s2m_ctrl, None, images, K,
+                      mem=MemoryConfig(top_k=10))
+
+
+class TestFreeInteraction:
+    def test_paint_predict_undo(self, session):
+        session.goto(0)
+        it = session.start_interaction("free")
+        assert isinstance(it, FreeInteraction)
+        session.push_point(5, 5, 1)
+        session.push_point(30, 30, 1)
+        session.end_path()
+        mask = session.predict()
+        assert mask.shape == (H, W)
+        assert (mask == 1).any()  # painted stroke became object 1
+        # erase with object 0
+        session.push_point(5, 5, 0)
+        session.push_point(30, 30, 0)
+        session.end_path()
+        erased = session.predict()
+        assert (erased == 1).sum() < (mask == 1).sum() + 1
+        # undo restores the painted map
+        assert session.undo()
+        restored = session.current_mask()
+        np.testing.assert_array_equal(restored, mask)
+
+    def test_brush_size_respected(self, session):
+        session.goto(1)
+        session.brush_size = 11
+        session.start_interaction("free")
+        session.push_point(10, 24, 1)
+        session.push_point(50, 24, 1)
+        session.end_path()
+        mask = session.predict()
+        rows = np.where((mask == 1).any(axis=1))[0]
+        assert len(rows) >= 11  # at least brush-width rows painted
+
+
+class TestScribbleInteraction:
+    def test_s2m_scribble_produces_distribution(self, session):
+        session.goto(2)
+        session.start_interaction("scribble")
+        session.push_point(8, 8, 1)
+        session.push_point(40, 30, 1)
+        session.end_path()
+        mask = session.predict()
+        assert mask.shape == (H, W)
+        assert set(np.unique(mask)) <= {0, 1, 2}
+
+
+class TestLocalControl:
+    def test_crop_stitch_roundtrip(self, session):
+        session.goto(3)
+        # paint object 1 globally first
+        session.start_interaction("free")
+        session.push_point(5, 5, 1)
+        session.push_point(20, 20, 1)
+        session.end_path()
+        before = session.predict().copy()
+
+        session.enter_local((16, 47, 8, 39))  # lx, ux, ly, uy
+        assert session.in_local_mode
+        it = session.start_interaction("free")
+        assert isinstance(it, FreeInteraction)
+        # paint object 2 inside the local region (local coords)
+        session.push_point(4, 10, 2)
+        session.push_point(25, 25, 2)
+        session.end_path()
+        session.predict()
+        after = session.finish_local()
+        assert not session.in_local_mode
+        assert (after == 2).any()
+        # pixels far outside the box are untouched
+        outside = (slice(0, 7), slice(0, 14))
+        np.testing.assert_array_equal(after[outside], before[outside])
+
+
+class TestSessionMisc:
+    def test_compose_frame_modes(self, session):
+        session.goto(0)
+        for mode in ["davis", "fade", "light"]:
+            session.viz_mode = mode
+            rgb = session.compose_frame()
+            assert rgb.shape == (H, W, 3) and rgb.dtype == np.uint8
+
+    def test_object_hotkey_bounds(self, session):
+        session.set_object(2)
+        assert session.current_object == 2
+        with pytest.raises(AssertionError):
+            session.set_object(K + 1)
+        session.set_object(1)
+
+    def test_save_masks(self, session, tmp_path):
+        session.save_masks(str(tmp_path / "m"))
+        import os
+        assert len(os.listdir(tmp_path / "m")) == T
+
+    def test_propagation_after_interaction(self, session):
+        session.goto(0)
+        session.start_interaction("free")
+        session.push_point(5, 5, 1)
+        session.push_point(30, 30, 1)
+        session.end_path()
+        session.predict()
+        steps = []
+        masks = session.run_propagation(step_cb=lambda: steps.append(1))
+        assert masks.shape == (T, H, W)
+        assert len(steps) == T - 1
+        assert session.interacted_mask is None
