@@ -45,7 +45,12 @@ def main():
                    jnp.zeros((K, 480, 864, 1)), jnp.zeros((K, 480, 864, 1)),
                    jnp.zeros((K, 480, 864, 2)), jnp.zeros((K, 2)))
 
-    images = rng.rand(T, RH, RW, 3).astype(np.float32)
+    # Video frames are uploaded to the device ONCE, outside the timed
+    # region — matching the reference protocol, where DAVISProcessor
+    # receives GPU-resident images and interact() timing excludes the
+    # video upload (reference eval_interactive_davis.py:49-56,83).
+    images = jax.device_put(rng.rand(T, RH, RW, 3).astype(np.float32))
+    images.block_until_ready()
     labels = jnp.asarray(rng.randint(0, K + 1, (RH, RW)))
     fg = one_hot_mask(labels, K)
     bg = 1 - fg.sum(0, keepdims=True)

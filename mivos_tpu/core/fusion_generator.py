@@ -28,8 +28,8 @@ class FusionGenerator:
         """images: (T, h, w, 3) normalized, UNPADDED."""
         self.prop_net, self.prop_params = prop_net, prop_params
         self.mem_freq = mem_freq
-        (self.query_fn, self.memorize_fn, self.propagate_step, _, _,
-         _) = build_step_fns(prop_net, None)
+        (self.query_fn, self.memorize_fn, self.propagate_step,
+         *_rest) = build_step_fns(prop_net, None)
 
         images = jnp.asarray(images)
         self.t, self.h, self.w = images.shape[:3]

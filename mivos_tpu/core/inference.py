@@ -89,8 +89,75 @@ def build_step_fns(prop_net: PropagationNetwork, fuse_net: Optional[FusionNet]):
     argmax_batch_fn = jax.jit(lambda probs: jnp.argmax(probs[..., 0], axis=1)
                               .astype(jnp.uint8))
 
+    # 4-bit label packing (two pixels per byte) halves the host
+    # download; remote-attached TPU links run at tens of MB/s, so the
+    # label fetch is a first-order cost of every interaction round.
+    @jax.jit
+    def argmax_pack_fn(probs):
+        lab = jnp.argmax(probs[..., 0], axis=1).astype(jnp.uint8)
+        return (lab[..., 0::2] << 4) | lab[..., 1::2]
+
     return (query_fn, memorize_fn, propagate_step, fuse_step, argmax_fn,
-            argmax_batch_fn)
+            argmax_batch_fn, argmax_pack_fn)
+
+
+@functools.lru_cache(maxsize=8)
+def build_scan_pass(prop_net: PropagationNetwork,
+                    fuse_net: Optional[FusionNet]):
+    """Whole-pass propagation as ONE jitted lax.scan.
+
+    The per-frame Python loop costs 3-4 dispatches/frame; on
+    remote-attached TPUs dispatch+transfer latency dominates the actual
+    compute several-fold. The mem_freq commit schedule
+    (reference inference_core.py:166-186) is deterministic given the
+    pass range, so it is precomputed host-side into per-step row
+    arrays and the entire pass — query encode, memory read, decode,
+    aggregate, (optional) difference-aware fusion, memorize, bank
+    write — compiles into one XLA while-loop. Pass lengths are bucketed
+    (padded steps write to a scratch slot) so the executable is reused
+    across videos and rounds.
+    """
+
+    def body_fn(params, fuse_params, key_k, pos_diff, neg_diff, do_fuse,
+                carry, xs):
+        bank_k, bank_v = carry
+        image = xs["image"]
+        rows, wrow = xs["rows"], xs["wrow"]
+        valid = jnp.arange(bank_k.shape[1]) < rows
+        f16, f8, f4, k16, v16 = prop_net.apply(params, image,
+                                               method="get_query_values")
+        out = prop_net.apply(params, bank_k, bank_v, valid, f16, f8, f4,
+                             k16, v16, method="segment_with_query")
+        agg = aggregate_wbg(out, keep_bg=True)
+        if do_fuse:
+            k = agg.shape[0] - 1
+            attn = prop_net.apply(params, key_k, pos_diff, neg_diff, k16,
+                                  method="get_attention")
+            im = jnp.broadcast_to(image[None], (k,) + image.shape)
+            logits = fuse_net.apply(fuse_params, im, xs["prev_prob"][1:],
+                                    agg[1:], attn, xs["dist"])
+            agg = aggregate_wbg(jax.nn.sigmoid(logits), keep_bg=True)
+        mk, mv = prop_net.apply(params, image, agg[1:], method="memorize")
+        bank_k = jax.lax.dynamic_update_slice(bank_k, mk, (0, wrow, 0))
+        bank_v = jax.lax.dynamic_update_slice(bank_v, mv, (0, wrow, 0))
+        return (bank_k, bank_v), agg
+
+    @functools.partial(jax.jit, static_argnames=("do_fuse",),
+                       donate_argnums=(2, 3))
+    def scan_pass(params, fuse_params, bank_k, bank_v, images_f, rows_f,
+                  wrow_f, prev_probs_f, dist_f, key_k, pos_diff, neg_diff,
+                  do_fuse: bool):
+        xs = {"image": images_f, "rows": rows_f, "wrow": wrow_f}
+        if do_fuse:
+            xs["prev_prob"] = prev_probs_f
+            xs["dist"] = dist_f
+        body = functools.partial(body_fn, params, fuse_params, key_k,
+                                 pos_diff, neg_diff, do_fuse)
+        (bank_k, bank_v), probs = jax.lax.scan(body, (bank_k, bank_v), xs)
+        labels = jnp.argmax(probs[..., 0], axis=1).astype(jnp.uint8)
+        return probs, labels
+
+    return scan_pass
 
 
 class InferenceCore:
@@ -108,8 +175,9 @@ class InferenceCore:
         self.fuse_net, self.fuse_params = fuse_net, fuse_params
         self.mem = mem
         (self.query_fn, self.memorize_fn, self.propagate_step,
-         self.fuse_step, self.argmax_fn,
-         self.argmax_batch_fn) = build_step_fns(prop_net, fuse_net)
+         self.fuse_step, self.argmax_fn, self.argmax_batch_fn,
+         self.argmax_pack_fn) = build_step_fns(prop_net, fuse_net)
+        self.scan_pass = build_scan_pass(prop_net, fuse_net)
 
         images = jnp.asarray(images)
         self.t = images.shape[0]
@@ -207,12 +275,21 @@ class InferenceCore:
             this_range = range(idx - 1, closest_ti, -1)
             end = closest_ti + 1
 
+        do_fuse = (closest_ti != self.t) and (closest_ti != -1) and \
+            (self.fuse_step is not None)
+
+        # Whole-pass scan path: one dispatch for the entire direction.
+        # Requires on-device images and no per-frame progress callback.
+        if step_cb is None and self.mem.mem_profile == 0 and \
+                len(this_range) > 0:
+            self._do_pass_scan(key_k, idx, forward, closest_ti,
+                               list(this_range), total_m, num_certain,
+                               do_fuse)
+            return closest_ti
+
         self.bank.reset(total_m, self.certain_k, self.certain_v)
         prev_in_mem = True
         last_ti = idx
-        do_fuse = (closest_ti != self.t) and (closest_ti != -1) and \
-            (self.fuse_step is not None)
-        qk16_int = None
 
         for ti in this_range:
             rows = self.bank.valid_rows(include_transient=not prev_in_mem)
@@ -242,6 +319,74 @@ class InferenceCore:
             if step_cb is not None:
                 step_cb()
         return closest_ti
+
+    def _do_pass_scan(self, key_k, idx: int, forward: bool,
+                      closest_ti: int, frames: List[int], total_m: int,
+                      num_certain: int, do_fuse: bool) -> None:
+        """One-dispatch propagation pass (see build_scan_pass). The
+        mem_freq commit schedule is mirrored into per-step row arrays;
+        padded steps (pass lengths are bucketed) write to a scratch
+        slot beyond every committed row."""
+        n = len(frames)
+        f_bucket = max(8, 1 << (n - 1).bit_length())
+        # +1 scratch slot for padded steps, beyond the +1 transient.
+        self.bank.reset(total_m + 1, self.certain_k, self.certain_v)
+        scratch_row = (self.bank.cap - 1) * self.n16
+
+        end = frames[-1]
+        m_front, last_ti, prev_in_mem = num_certain, idx, True
+        rows, wrows = [], []
+        for ti in frames:
+            rows.append((m_front + (0 if prev_in_mem else 1)) * self.n16)
+            wrows.append(m_front * self.n16)
+            if ti != end:
+                if abs(ti - last_ti) >= self.mem.mem_freq:
+                    m_front += 1
+                    last_ti = ti
+                    prev_in_mem = True
+                else:
+                    prev_in_mem = False
+        rows += [rows[-1]] * (f_bucket - n)
+        wrows += [scratch_row] * (f_bucket - n)
+        rows_f = jnp.asarray(np.asarray(rows, np.int32))
+        wrow_f = jnp.asarray(np.asarray(wrows, np.int32))
+
+        if forward:
+            sl = self.images[idx + 1:idx + 1 + n]
+        else:
+            sl = jnp.flip(self.images[idx - n:idx], axis=0)
+        if f_bucket > n:
+            pad = jnp.broadcast_to(sl[-1:],
+                                   (f_bucket - n,) + sl.shape[1:])
+            sl = jnp.concatenate([sl, pad], axis=0)
+
+        if do_fuse:
+            prev = jnp.stack([self.get_prob(ti) for ti in frames])
+            if f_bucket > n:
+                padp = jnp.zeros((f_bucket - n,) + prev.shape[1:],
+                                 prev.dtype)
+                prev = jnp.concatenate([prev, padp], axis=0)
+            denom = abs(closest_ti - idx)
+            dist_np = np.zeros((f_bucket, self.k, 2), np.float32)
+            for j, ti in enumerate(frames):
+                dist_np[j, :, 0] = abs(closest_ti - ti) / denom
+                dist_np[j, :, 1] = abs(idx - ti) / denom
+            dist_f = jnp.asarray(dist_np)
+            pos_diff, neg_diff = self.pos_diff, self.neg_diff
+        else:
+            prev = jnp.zeros((1,))
+            dist_f = jnp.zeros((1,))
+            key_k = jnp.zeros((1,))
+            pos_diff = neg_diff = jnp.zeros((1,))
+
+        probs, labels = self.scan_pass(
+            self.prop_params, self.fuse_params, self.bank.keys,
+            self.bank.values, sl, rows_f, wrow_f, prev, dist_f,
+            key_k, pos_diff, neg_diff, do_fuse)
+        self.bank.keys = self.bank.values = None  # donated to the scan
+        self.bank.num_slots = m_front  # final commit count (observability)
+        for j, ti in enumerate(frames):
+            self.set_prob(ti, probs[j])
 
     def _time_coef(self, tc: int, tr: int, ti: int) -> jax.Array:
         nc = abs(tc - ti) / abs(tc - tr)
@@ -303,7 +448,13 @@ class InferenceCore:
         lw, uw, lh, uh = self.pad
         if self.on_device_results:
             stacked = jnp.stack([self.prob[ti] for ti in touched])
-            labs = np.asarray(self.argmax_batch_fn(stacked))
+            if self.k <= 15 and self.nw % 2 == 0:
+                packed = np.asarray(self.argmax_pack_fn(stacked))
+                labs = np.empty(packed.shape[:-1] + (self.nw,), np.uint8)
+                labs[..., 0::2] = packed >> 4
+                labs[..., 1::2] = packed & 0xF
+            else:
+                labs = np.asarray(self.argmax_batch_fn(stacked))
         else:
             stacked = np.stack([self.prob[ti] for ti in touched])
             labs = np.argmax(stacked[..., 0], axis=1).astype(np.uint8)

@@ -115,4 +115,16 @@ def test_memory_bank_commits(setup):
     # with mem_freq=2 -> several commits + 1 certain slot survive in bank state
     core.interact(make_interaction_mask(rng), idx=T - 1)
     assert core.bank.num_slots >= 3
-    assert core.bank.cap * core.n16 == core.bank.keys.shape[1]
+    # scan path donates the bank buffers; the loop path keeps them at
+    # bucketed capacity
+    if core.bank.keys is not None:
+        assert core.bank.cap * core.n16 == core.bank.keys.shape[1]
+
+    # same interaction through the per-frame loop path (progress
+    # callbacks force it) must agree with the scan path
+    core2 = fresh_core(setup)
+    m2 = core2.interact(make_interaction_mask(np.random.RandomState(6)),
+                        idx=T - 1, step_cb=lambda: None)
+    assert core2.bank.keys is not None
+    assert core2.bank.cap * core2.n16 == core2.bank.keys.shape[1]
+    np.testing.assert_array_equal(m2, core.np_masks)
