@@ -207,6 +207,79 @@ def convert_fbrs(sd: Mapping[str, np.ndarray]) -> Dict:
     return {"params": convert_flat(sd, rules)}
 
 
+def convert_fbrs_hrnet(sd: Mapping[str, np.ndarray]) -> Dict:
+    """fbrs hrnet .pth -> FBRSHRNetModel params (reference
+    fbrs/model/modeling/hrnet_ocr.py naming).
+
+    Fuse-layer keys need index-aware handling (j>i is [conv, bn]; j<i is
+    a chain of [conv, bn(, relu)] sequentials), so keys are pre-mapped
+    before the generic converter runs.
+    """
+    def premap(k: str) -> str:
+        m = re.match(
+            r"(.*)\.fuse_layers\.(\d+)\.(\d+)\.(\d+)\.(\d+)\.(.*)", k)
+        if m:  # downsample chain: j < i
+            pre, i, j, step, sub, leaf = m.groups()
+            kind = "conv" if sub == "0" else "bn"
+            return f"{pre}.fuse{i}_{j}_{kind}{step}.{leaf}"
+        m = re.match(r"(.*)\.fuse_layers\.(\d+)\.(\d+)\.(\d+)\.(.*)", k)
+        if m:  # 1x1 + bn: j > i
+            pre, i, j, sub, leaf = m.groups()
+            kind = "conv" if sub == "0" else "bn"
+            return f"{pre}.fuse{i}_{j}_{kind}.{leaf}"
+        return k
+
+    sd = {premap(k): v for k, v in sd.items()}
+    rules = (
+        (r"^rgb_conv\.0\.", "rgb_conv_0."),
+        (r"^rgb_conv\.2\.", "rgb_conv_bn."),
+        (r"^rgb_conv\.3\.", "rgb_conv_1."),
+        (r"\.layer1\.(\d+)\.", r".layer1_block\1."),
+        (r"\.downsample\.0\.", ".downsample_conv."),
+        (r"\.downsample\.1\.", ".downsample_bn."),
+        (r"\.transition(\d)\.(\d)\.0\.0\.", r".transition\1_\2_conv."),
+        (r"\.transition(\d)\.(\d)\.0\.1\.", r".transition\1_\2_bn."),
+        (r"\.transition(\d)\.(\d)\.0\.", r".transition\1_\2_conv."),
+        (r"\.transition(\d)\.(\d)\.1\.", r".transition\1_\2_bn."),
+        (r"\.stage(\d)\.(\d+)\.branches\.(\d+)\.(\d+)\.",
+         r".stage\1_m\2.branch\3_block\4."),
+        (r"\.stage(\d)\.(\d+)\.fuse", r".stage\1_m\2.fuse"),
+        (r"\.conv3x3_ocr\.0\.", ".conv3x3_ocr_conv."),
+        (r"\.conv3x3_ocr\.1\.", ".conv3x3_ocr_bn."),
+        (r"\.ocr_distri_head\.object_context_block\.", ".ocr_distri_head."),
+        (r"\.f_(pixel|object|down|up)\.0\.", r".f_\1.conv0."),
+        (r"\.f_(pixel|object|down|up)\.1\.0\.", r".f_\1.bn0."),
+        (r"\.f_(pixel|object|down|up)\.2\.", r".f_\1.conv1."),
+        (r"\.f_(pixel|object|down|up)\.3\.0\.", r".f_\1.bn1."),
+        (r"\.conv_bn_dropout\.0\.", ".proj_conv."),
+        (r"\.conv_bn_dropout\.1\.0\.", ".proj_bn."),
+        (r"\.aux_head\.0\.", ".aux_head_conv1."),
+        (r"\.aux_head\.1\.", ".aux_head_bn."),
+        (r"\.aux_head\.3\.", ".aux_head_conv2."),
+    )
+    return {"params": convert_flat(sd, rules)}
+
+
+def detect_fbrs_model(sd: Mapping[str, np.ndarray]) -> Dict:
+    """Auto-detect the fbrs architecture from a state dict (reference
+    fbrs/inference/utils.py:21-100). Returns constructor kwargs +
+    'kind' ('deeplab' | 'hrnet')."""
+    keys = sd.keys()
+    if any(k.startswith("feature_extractor.backbone") for k in keys):
+        return {"kind": "deeplab"}
+    if any(".stage2." in k or k.startswith("feature_extractor.stage2")
+           for k in keys):
+        width = int(sd["feature_extractor.transition1.0.0.weight"].shape[0])
+        ocr = int(sd["feature_extractor.conv3x3_ocr.0.weight"].shape[0]) // 2
+        layer1_blocks = 1 + max(
+            int(re.match(r"feature_extractor\.layer1\.(\d+)\.", k).group(1))
+            for k in keys
+            if re.match(r"feature_extractor\.layer1\.(\d+)\.", k))
+        return {"kind": "hrnet", "width": width, "ocr_width": ocr,
+                "small": layer1_blocks == 2}
+    raise ValueError("unrecognized fbrs checkpoint")
+
+
 def assert_tree_matches(converted: Dict, target: Dict, path: str = "") -> None:
     """Structural check: every target leaf exists with the right shape."""
     for k, v in target.items():
