@@ -35,14 +35,11 @@ def main():
 
     dtype = None if args.dtype == "float32" else args.dtype
     prop_net = PropagationNetwork(top_k=args.top_k, dtype=dtype)
-    prop_params = {"params": convert_prop_net(
-        load_torch_state_dict(args.prop_model))}
+    prop_params = convert_prop_net(load_torch_state_dict(args.prop_model))
     fuse_net = FusionNet(dtype=dtype)
-    fuse_params = {"params": convert_fusion_net(
-        load_torch_state_dict(args.fusion_model))}
+    fuse_params = convert_fusion_net(load_torch_state_dict(args.fusion_model))
     s2m_net = S2M()
-    s2m_params = {"params": convert_s2m(
-        load_torch_state_dict(args.s2m_model))}
+    s2m_params = convert_s2m(load_torch_state_dict(args.s2m_model))
 
     summary = run_davis_interactive(
         prop_net, prop_params, fuse_net, fuse_params, s2m_net, s2m_params,

@@ -56,17 +56,13 @@ def build_session(args):
     images = im_normalize(frames.astype("float32") / 255.0)
 
     prop_net = PropagationNetwork(dtype=dtype)
-    prop_params = {"params": convert_prop_net(
-        load_torch_state_dict(args.prop_model))}
+    prop_params = convert_prop_net(load_torch_state_dict(args.prop_model))
     fuse_net = FusionNet(dtype=dtype)
-    fuse_params = {"params": convert_fusion_net(
-        load_torch_state_dict(args.fusion_model))}
+    fuse_params = convert_fusion_net(load_torch_state_dict(args.fusion_model))
     s2m = S2MNetwork()
-    s2m_params = {"params": convert_s2m(
-        load_torch_state_dict(args.s2m_model))}
+    s2m_params = convert_s2m(load_torch_state_dict(args.s2m_model))
     fbrs = FBRSDeepLabModel()
-    fbrs_params = {"params": convert_fbrs(
-        load_torch_state_dict(args.fbrs_model))}
+    fbrs_params = convert_fbrs(load_torch_state_dict(args.fbrs_model))
 
     s2m_ctrl = S2MController(s2m, s2m_params, args.num_objects)
     fbrs_ctrl = FBRSController(fbrs, fbrs_params)

@@ -1,0 +1,83 @@
+"""Memory-bank sharding across a device mesh — the sequence-parallel
+analog of this workload (SURVEY.md §5.7).
+
+The space-time memory read attends each query over T*H*W memory
+positions; for very long videos the bank outgrows one chip's HBM. Here
+the bank's position axis is sharded over a mesh axis and the read runs
+as shard_map:
+
+  1. local affinity (K, N, M/D) on each device;
+  2. local exact top-k per row -> (K, N, k) candidate values;
+  3. all_gather the candidates over ICI ((D*k) per row — tiny compared
+     to the bank) and take the global k-th: since every member of the
+     global top-k is in its home shard's local top-k, the gathered
+     candidate set contains the exact global top-k, so the threshold
+     (and the row max) are EXACT, not approximate;
+  4. local thresholded exp readout, combined with psum.
+
+Communication per read: one all_gather of (K, N, k) floats and one
+psum of (K, N, CV) — both O(query), independent of bank length. The
+reference has no distributed inference at all (single cuda:0,
+reference inference_core.py:36).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+NEG_INF = -1e30
+
+
+def sharded_memory_read(mesh: Mesh, mem_k: jax.Array, mem_v: jax.Array,
+                        query_k: jax.Array, top_k: int = 50,
+                        valid: Optional[jax.Array] = None,
+                        axis: str = "data") -> jax.Array:
+    """mem_k (K, M, CK), mem_v (K, M, CV) sharded (or shardable) on M;
+    query_k (N, CK) replicated. M must divide the axis size. Returns the
+    replicated (K, N, CV) readout, exactly equal to the single-device
+    exact top-k read."""
+    k, m, ck = mem_k.shape
+    n = query_k.shape[0]
+    d = mesh.shape[axis]
+    assert m % d == 0, (m, d)
+    if valid is None:
+        valid = jnp.ones((m,), bool)
+    scale = 1.0 / math.sqrt(ck)
+
+    def local(mk, mv, qk, vl):
+        aff = jnp.einsum("kmc,nc->knm", mk, qk * scale,
+                         preferred_element_type=jnp.float32)
+        aff = jnp.where(vl[None, None, :], aff, NEG_INF)
+        local_k = min(top_k, aff.shape[-1])
+        cand = jax.lax.top_k(aff, local_k)[0]            # (K, N, local_k)
+        allc = jax.lax.all_gather(cand, axis)            # (D, K, N, lk)
+        allc = jnp.moveaxis(allc, 0, 2).reshape(k, n, d * local_k)
+        kk = min(top_k, d * local_k)
+        gtop = jax.lax.top_k(allc, kk)[0]
+        gmax = gtop[..., :1]
+        kth = gtop[..., kk - 1:kk]
+        w = jnp.where(aff >= kth, jnp.exp(aff - gmax), 0.0)
+        acc = jnp.einsum("knm,kmv->knv", w.astype(mv.dtype), mv,
+                         preferred_element_type=jnp.float32)
+        wsum = jnp.sum(w, axis=-1, keepdims=True)
+        acc = jax.lax.psum(acc, axis)
+        wsum = jax.lax.psum(wsum, axis)
+        return acc / wsum
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis, None), P(None, axis, None), P(), P(axis)),
+        out_specs=P())
+    return fn(mem_k, mem_v, query_k, valid)
+
+
+def shard_bank(mesh: Mesh, mem_k: jax.Array, mem_v: jax.Array,
+               axis: str = "data"):
+    """Place a bank with its position axis sharded over `axis`."""
+    sh = NamedSharding(mesh, P(None, axis, None))
+    return jax.device_put(mem_k, sh), jax.device_put(mem_v, sh)

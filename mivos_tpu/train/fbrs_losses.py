@@ -1,0 +1,137 @@
+"""f-BRS training losses and metrics (reference: fbrs/model/losses.py,
+fbrs/model/metrics.py).
+
+Pure-functional jnp versions. The interactive-seg subsystem ships as an
+inference component in this framework (weights converted from the
+published checkpoints); these losses complete the training surface for
+users who fine-tune the click model.
+
+Layout: pred/label are (B, H, W[, 1]) NHWC; label -1 = ignore.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _flat(x: jax.Array) -> jax.Array:
+    return x.reshape(x.shape[0], -1)
+
+
+def normalized_focal_loss(pred_logits: jax.Array, label: jax.Array,
+                          alpha: float = 0.25, gamma: float = 2.0,
+                          eps: float = 1e-12,
+                          ignore_label: int = -1) -> jax.Array:
+    """NFL: focal loss whose beta weights renormalize to the valid-pixel
+    count per sample (reference losses.py:9-67). Returns (B,) losses."""
+    pred = jax.nn.sigmoid(pred_logits)
+    one_hot = label > 0
+    sw = (label != ignore_label).astype(pred.dtype)
+    a = jnp.where(one_hot, alpha * sw, (1 - alpha) * sw)
+    pt = jnp.where(one_hot, pred, 1 - pred)
+    pt = jnp.where(sw > 0, pt, 1.0)
+    beta = (1 - pt) ** gamma
+    sw_sum = jnp.sum(sw, axis=(-3, -2) if sw.ndim == 4 else (-2, -1),
+                     keepdims=True)
+    beta_sum = jnp.sum(beta, axis=(-3, -2) if beta.ndim == 4 else (-2, -1),
+                       keepdims=True)
+    mult = jax.lax.stop_gradient(sw_sum / (beta_sum + eps))
+    beta = beta * mult
+    loss = -a * beta * jnp.log(jnp.minimum(pt + eps, 1.0)) * sw
+    bsum = jnp.sum(_flat(sw), axis=1)
+    return jnp.sum(_flat(loss), axis=1) / (bsum + eps)
+
+
+def focal_loss(pred_logits: jax.Array, label: jax.Array,
+               alpha: float = 0.25, gamma: float = 2.0,
+               eps: float = 1e-9) -> jax.Array:
+    """Plain focal loss normalized by positive count
+    (reference losses.py:70-110). Returns (B,)."""
+    pred = jax.nn.sigmoid(pred_logits)
+    one_hot = label > 0
+    sw = (label != -1).astype(pred.dtype)
+    a = jnp.where(one_hot, alpha * sw, (1 - alpha) * sw)
+    pt = jnp.where(one_hot, pred, 1 - pred)
+    beta = (1 - pt) ** gamma
+    loss = -a * beta * jnp.log(jnp.minimum(pt + eps, 1.0)) * sw
+    tsum = jnp.sum(_flat((label == 1).astype(pred.dtype)), axis=1)
+    return jnp.sum(_flat(loss), axis=1) / (tsum + eps)
+
+
+def sigmoid_bce_loss(pred_logits: jax.Array, label: jax.Array,
+                     ignore_label: int = -1) -> jax.Array:
+    """Numerically-stable sigmoid BCE with ignore mask
+    (reference losses.py:113-135). Returns (B,) mean losses."""
+    sw = (label != ignore_label).astype(pred_logits.dtype)
+    lab = jnp.where(sw > 0, label.astype(pred_logits.dtype), 0.0)
+    loss = (jax.nn.relu(pred_logits) - pred_logits * lab
+            + jax.nn.softplus(-jnp.abs(pred_logits)))
+    return jnp.mean(_flat(loss * sw), axis=1)
+
+
+def compute_iou(pred_mask: jax.Array, gt_mask: jax.Array,
+                ignore_mask: Optional[jax.Array] = None) -> np.ndarray:
+    """Per-sample IoU over non-empty unions (reference metrics.py:86-101)."""
+    pred_mask = jnp.asarray(pred_mask, bool)
+    gt_mask = jnp.asarray(gt_mask, bool)
+    if ignore_mask is not None:
+        pred_mask = jnp.where(jnp.asarray(ignore_mask, bool), False,
+                              pred_mask)
+    union = np.asarray(jnp.mean(_flat(pred_mask | gt_mask)
+                                .astype(jnp.float32), axis=1))
+    inter = np.asarray(jnp.mean(_flat(pred_mask & gt_mask)
+                                .astype(jnp.float32), axis=1))
+    nz = union > 0
+    return inter[nz] / union[nz]
+
+
+@dataclasses.dataclass
+class AdaptiveIoU:
+    """Train-time IoU at an adaptively tuned threshold
+    (reference metrics.py:29-83): each update probes +-thresh_step and
+    EMA-tracks the best threshold and IoU."""
+
+    init_thresh: float = 0.4
+    thresh_step: float = 0.025
+    thresh_beta: float = 0.99
+    iou_beta: float = 0.9
+    ignore_label: int = -1
+    from_logits: bool = True
+
+    def __post_init__(self):
+        self.iou_thresh = self.init_thresh
+        self.ema_iou = 0.0
+        self._epoch_sum = 0.0
+        self._epoch_count = 0
+
+    def update(self, pred: jax.Array, gt: jax.Array) -> None:
+        gt_mask = jnp.asarray(gt) > 0
+        if self.from_logits:
+            pred = jax.nn.sigmoid(jnp.asarray(pred))
+        if float(jnp.sum(gt_mask)) == 0:
+            return
+        ignore = jnp.asarray(gt) == self.ignore_label
+        best_t = self.iou_thresh
+        best = compute_iou(pred > best_t, gt_mask, ignore).mean()
+        for t in (best_t - self.thresh_step, best_t + self.thresh_step):
+            iou = compute_iou(pred > t, gt_mask, ignore).mean()
+            if iou > best:
+                best, best_t = iou, t
+        self.iou_thresh = (self.thresh_beta * self.iou_thresh
+                           + (1 - self.thresh_beta) * best_t)
+        self.ema_iou = (self.iou_beta * self.ema_iou
+                        + (1 - self.iou_beta) * best)
+        self._epoch_sum += float(best)
+        self._epoch_count += 1
+
+    def get_epoch_value(self) -> float:
+        return (self._epoch_sum / self._epoch_count
+                if self._epoch_count else 0.0)
+
+    def reset_epoch_stats(self) -> None:
+        self._epoch_sum = 0.0
+        self._epoch_count = 0

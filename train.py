@@ -79,7 +79,7 @@ def main():
     attn_params = None
     if args.load_prop:
         sd = load_torch_state_dict(args.load_prop)
-        attn_params = {"params": convert_attention_read(sd)}
+        attn_params = convert_attention_read(sd)
     trainer.init(first, attn_params=attn_params)
 
     mgr = CheckpointManager(os.path.join(args.save_dir, args.id))
