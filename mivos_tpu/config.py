@@ -18,10 +18,17 @@ class MemoryConfig:
     km: Optional[float] = None         # kernelized-memory sigma (off by default)
     bank_cap_frames: int = 512         # hard cap on committed memory frames
     # Host-offload policy replacing the reference's mem_profile levels
-    # (inference_core.py:44-63). 0 keeps everything on device.
+    # (inference_core.py:44-63): 0 = all on device; 1 = frames on host,
+    # results on device; 2/3 = both on host with shrinking buffers.
     mem_profile: int = 0
-    query_buf_size: int = 105
-    image_buf_size: int = 105
+
+    @property
+    def query_buf_size(self) -> int:
+        return {0: 105, 1: 105, 2: 3}.get(self.mem_profile, 1)
+
+    @property
+    def image_buf_size(self) -> int:
+        return {0: 105, 1: 105, 2: 3}.get(self.mem_profile, 1)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -154,8 +154,11 @@ def build_scan_pass(prop_net: PropagationNetwork,
         body = functools.partial(body_fn, params, fuse_params, key_k,
                                  pos_diff, neg_diff, do_fuse)
         (bank_k, bank_v), probs = jax.lax.scan(body, (bank_k, bank_v), xs)
-        labels = jnp.argmax(probs[..., 0], axis=1).astype(jnp.uint8)
-        return probs, labels
+        # 4-bit-packed label maps ship back to the host per chunk so the
+        # download overlaps the next chunk's compute.
+        lab = jnp.argmax(probs[..., 0], axis=1).astype(jnp.uint8)
+        packed = (lab[..., 0::2] << 4) | lab[..., 1::2]
+        return bank_k, bank_v, probs, packed
 
     return scan_pass
 
@@ -188,7 +191,7 @@ class InferenceCore:
         self.nh, self.nw = padded.shape[1:3]
         self.n16 = (self.nh // 16) * (self.nw // 16)
 
-        self.on_device_data = mem.mem_profile == 0 or mem.mem_profile == 1
+        self.on_device_data = mem.mem_profile == 0
         self.on_device_results = mem.mem_profile <= 1
         if mem.mem_profile == 0:
             self.images = jax.device_put(padded)
@@ -203,6 +206,9 @@ class InferenceCore:
         self.query_buf: Dict[int, Query] = {}
         self.image_buf: Dict[int, jax.Array] = {}
         self.interacted: set = set()
+        # ti -> (device packed-label chunk, row) prefetched by the scan
+        # passes; consumed (and de-staled by set_prob) in _render_masks.
+        self._label_cache: Dict[int, tuple] = {}
 
         self.certain_k: Optional[jax.Array] = None  # (K, s*n, CK)
         self.certain_v: Optional[jax.Array] = None
@@ -249,6 +255,7 @@ class InferenceCore:
         return jnp.asarray(p) if isinstance(p, np.ndarray) else p
 
     def set_prob(self, ti: int, prob: jax.Array) -> None:
+        self._label_cache.pop(ti, None)
         self.prob[ti] = np.asarray(prob) if not self.on_device_results else prob
 
     # ----- core passes -----
@@ -320,15 +327,20 @@ class InferenceCore:
                 step_cb()
         return closest_ti
 
+    SCAN_CHUNK = 16
+
     def _do_pass_scan(self, key_k, idx: int, forward: bool,
                       closest_ti: int, frames: List[int], total_m: int,
                       num_certain: int, do_fuse: bool) -> None:
-        """One-dispatch propagation pass (see build_scan_pass). The
-        mem_freq commit schedule is mirrored into per-step row arrays;
-        padded steps (pass lengths are bucketed) write to a scratch
-        slot beyond every committed row."""
+        """Chunked scan propagation (see build_scan_pass). The mem_freq
+        commit schedule is mirrored into per-step row arrays; padded
+        steps write to a scratch slot beyond every committed row. The
+        pass runs as fixed-size scan chunks (one executable for every
+        pass length) with the bank carried across chunks, and each
+        chunk's packed label map starts an async host copy immediately —
+        the download of chunk i rides under chunk i+1's compute."""
         n = len(frames)
-        f_bucket = max(8, 1 << (n - 1).bit_length())
+        chunk = self.SCAN_CHUNK
         # +1 scratch slot for padded steps, beyond the +1 transient.
         self.bank.reset(total_m + 1, self.certain_k, self.certain_v)
         scratch_row = (self.bank.cap - 1) * self.n16
@@ -346,47 +358,63 @@ class InferenceCore:
                     prev_in_mem = True
                 else:
                     prev_in_mem = False
-        rows += [rows[-1]] * (f_bucket - n)
-        wrows += [scratch_row] * (f_bucket - n)
-        rows_f = jnp.asarray(np.asarray(rows, np.int32))
-        wrow_f = jnp.asarray(np.asarray(wrows, np.int32))
+        n_pad = -(-n // chunk) * chunk
+        rows += [rows[-1]] * (n_pad - n)
+        wrows += [scratch_row] * (n_pad - n)
 
         if forward:
             sl = self.images[idx + 1:idx + 1 + n]
         else:
             sl = jnp.flip(self.images[idx - n:idx], axis=0)
-        if f_bucket > n:
-            pad = jnp.broadcast_to(sl[-1:],
-                                   (f_bucket - n,) + sl.shape[1:])
+        if n_pad > n:
+            pad = jnp.broadcast_to(sl[-1:], (n_pad - n,) + sl.shape[1:])
             sl = jnp.concatenate([sl, pad], axis=0)
 
         if do_fuse:
-            prev = jnp.stack([self.get_prob(ti) for ti in frames])
-            if f_bucket > n:
-                padp = jnp.zeros((f_bucket - n,) + prev.shape[1:],
-                                 prev.dtype)
-                prev = jnp.concatenate([prev, padp], axis=0)
+            prev_all = jnp.stack([self.get_prob(ti) for ti in frames])
+            if n_pad > n:
+                padp = jnp.zeros((n_pad - n,) + prev_all.shape[1:],
+                                 prev_all.dtype)
+                prev_all = jnp.concatenate([prev_all, padp], axis=0)
             denom = abs(closest_ti - idx)
-            dist_np = np.zeros((f_bucket, self.k, 2), np.float32)
+            dist_np = np.zeros((n_pad, self.k, 2), np.float32)
             for j, ti in enumerate(frames):
                 dist_np[j, :, 0] = abs(closest_ti - ti) / denom
                 dist_np[j, :, 1] = abs(idx - ti) / denom
-            dist_f = jnp.asarray(dist_np)
+            dist_all = jnp.asarray(dist_np)
             pos_diff, neg_diff = self.pos_diff, self.neg_diff
         else:
-            prev = jnp.zeros((1,))
-            dist_f = jnp.zeros((1,))
+            prev_all = dist_all = None
             key_k = jnp.zeros((1,))
             pos_diff = neg_diff = jnp.zeros((1,))
+        dummy = jnp.zeros((1,))
 
-        probs, labels = self.scan_pass(
-            self.prop_params, self.fuse_params, self.bank.keys,
-            self.bank.values, sl, rows_f, wrow_f, prev, dist_f,
-            key_k, pos_diff, neg_diff, do_fuse)
-        self.bank.keys = self.bank.values = None  # donated to the scan
+        bank_k, bank_v = self.bank.keys, self.bank.values
+        chunk_probs, chunk_packed = [], []
+        for c0 in range(0, n_pad, chunk):
+            c1 = c0 + chunk
+            bank_k, bank_v, probs, packed = self.scan_pass(
+                self.prop_params, self.fuse_params, bank_k, bank_v,
+                sl[c0:c1],
+                jnp.asarray(np.asarray(rows[c0:c1], np.int32)),
+                jnp.asarray(np.asarray(wrows[c0:c1], np.int32)),
+                prev_all[c0:c1] if do_fuse else dummy,
+                dist_all[c0:c1] if do_fuse else dummy,
+                key_k, pos_diff, neg_diff, do_fuse)
+            try:
+                packed.copy_to_host_async()
+            except Exception:
+                pass  # backends without async host copies
+            chunk_probs.append(probs)
+            chunk_packed.append(packed)
+        self.bank.keys, self.bank.values = bank_k, bank_v
         self.bank.num_slots = m_front  # final commit count (observability)
+
         for j, ti in enumerate(frames):
-            self.set_prob(ti, probs[j])
+            self.set_prob(ti, chunk_probs[j // chunk][j % chunk])
+            if self.k <= 15:  # 4-bit packing holds K+1 <= 16 labels
+                self._label_cache[ti] = (chunk_packed[j // chunk],
+                                         j % chunk)
 
     def _time_coef(self, tc: int, tr: int, ti: int) -> jax.Array:
         nc = abs(tc - ti) / abs(tc - tr)
@@ -441,24 +469,47 @@ class InferenceCore:
         lw, uw, lh, uh = self.pad
         return lab[lh: self.nh - uh, lw: self.nw - uw]
 
+    @staticmethod
+    def _unpack4(packed: np.ndarray) -> np.ndarray:
+        out = np.empty(packed.shape[:-1] + (packed.shape[-1] * 2,),
+                       np.uint8)
+        out[..., 0::2] = packed >> 4
+        out[..., 1::2] = packed & 0xF
+        return out
+
     def _render_masks(self) -> np.ndarray:
         touched = [ti for ti in range(self.t) if self.prob[ti] is not None]
         if not touched:
             return self.np_masks
         lw, uw, lh, uh = self.pad
+        crop = (slice(lh, self.nh - uh), slice(lw, self.nw - uw))
+
+        # Frames whose labels the scan passes already shipped to host.
+        rest = []
+        fetched: Dict[int, np.ndarray] = {}
+        for ti in touched:
+            entry = self._label_cache.get(ti)
+            if entry is None:
+                rest.append(ti)
+                continue
+            arr, row = entry
+            key = id(arr)
+            if key not in fetched:
+                fetched[key] = np.asarray(arr)  # async copy already done
+            self.np_masks[ti] = self._unpack4(fetched[key][row])[crop]
+        if not rest:
+            return self.np_masks
+
         if self.on_device_results:
-            stacked = jnp.stack([self.prob[ti] for ti in touched])
+            stacked = jnp.stack([self.prob[ti] for ti in rest])
             if self.k <= 15 and self.nw % 2 == 0:
-                packed = np.asarray(self.argmax_pack_fn(stacked))
-                labs = np.empty(packed.shape[:-1] + (self.nw,), np.uint8)
-                labs[..., 0::2] = packed >> 4
-                labs[..., 1::2] = packed & 0xF
+                labs = self._unpack4(np.asarray(self.argmax_pack_fn(stacked)))
             else:
                 labs = np.asarray(self.argmax_batch_fn(stacked))
         else:
-            stacked = np.stack([self.prob[ti] for ti in touched])
+            stacked = np.stack([self.prob[ti] for ti in rest])
             labs = np.argmax(stacked[..., 0], axis=1).astype(np.uint8)
-        labs = labs[:, lh: self.nh - uh, lw: self.nw - uw]
-        for i, ti in enumerate(touched):
+        labs = labs[:, crop[0], crop[1]]
+        for i, ti in enumerate(rest):
             self.np_masks[ti] = labs[i]
         return self.np_masks

@@ -100,8 +100,7 @@ def test_host_offload_profile_matches_device(setup):
     rng = np.random.RandomState(5)
     mask = make_interaction_mask(rng)
     core0 = fresh_core(setup, mem_profile=0)
-    core2 = fresh_core(setup, mem_profile=2, query_buf_size=1,
-                       image_buf_size=1)
+    core2 = fresh_core(setup, mem_profile=3)
     out0 = core0.interact(mask, idx=3)
     out2 = core2.interact(mask, idx=3)
     np.testing.assert_array_equal(out0, out2)
