@@ -34,8 +34,8 @@ from mivos_tpu.core.memory_bank import MemoryBank
 from mivos_tpu.models.fusion import FusionNet
 from mivos_tpu.models.propagation import PropagationNetwork
 from mivos_tpu.ops.aggregate import aggregate_wbg
-from mivos_tpu.utils.tensor import (dev_f32_pair, dev_i32, next_bucket,
-                                    pad_divide_by)
+from mivos_tpu.utils.tensor import (cast_params_bf16, dev_f32_pair, dev_i32,
+                                    next_bucket, pad_divide_by)
 
 Query = Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]
 
@@ -174,6 +174,11 @@ class InferenceCore:
                  fuse_net: Optional[FusionNet], fuse_params,
                  images, num_objects: int,
                  mem: MemoryConfig = MemoryConfig()):
+        if prop_net.dtype == "bfloat16":
+            prop_params = cast_params_bf16(prop_params)
+            if fuse_params is not None and fuse_net is not None and \
+                    fuse_net.dtype == "bfloat16":
+                fuse_params = cast_params_bf16(fuse_params)
         self.prop_net, self.prop_params = prop_net, prop_params
         self.fuse_net, self.fuse_params = fuse_net, fuse_params
         self.mem = mem

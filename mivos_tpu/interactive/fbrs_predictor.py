@@ -257,7 +257,8 @@ class FeatureBRSPredictor:
                  zoom_in: Optional[ZoomIn] = None,
                  net_clicks_limit: int = 8,
                  optimize_after_n_clicks: int = 1,
-                 maxiter: int = 20):
+                 maxiter: int = 20,
+                 max_size: Optional[int] = None):
         self.net = net
         self.params = params
         self.zoom_in = zoom_in
@@ -265,6 +266,11 @@ class FeatureBRSPredictor:
         self.optimize_after_n_clicks = optimize_after_n_clicks
         self._head_input, self._full_forward, self._optimize = _fbrs_fns(
             net, maxiter=maxiter)
+        # LimitLongestSide (reference transforms/limit_longest_side.py):
+        # downscale oversize inputs before prediction, invert at the end.
+        self.max_size = max_size
+        self._limit_scale = 1.0
+        self._orig_hw = None
         self.original_image = None
         self.opt_data = None
         self.input_data = None
@@ -274,7 +280,17 @@ class FeatureBRSPredictor:
         """image: (H, W, 3) normalized."""
         if self.zoom_in is not None:
             self.zoom_in.reset()
-        self.original_image = jnp.asarray(image)[None]
+        image = jnp.asarray(image)
+        self._orig_hw = image.shape[:2]
+        self._limit_scale = 1.0
+        if self.max_size is not None:
+            longest = max(self._orig_hw)
+            if longest > self.max_size:
+                self._limit_scale = self.max_size / longest
+                nh = int(round(self._orig_hw[0] * self._limit_scale))
+                nw = int(round(self._orig_hw[1] * self._limit_scale))
+                image = up_ac(image[None], (nh, nw))[0]
+        self.original_image = image[None]
         self.opt_data = None
         self.input_data = None
         self._input_key = None
@@ -304,6 +320,11 @@ class FeatureBRSPredictor:
     def get_prediction(self, clicker) -> jax.Array:
         """-> (H, W) numpy-convertible probability map on the full frame."""
         clicks = clicker.get_clicks()
+        if self._limit_scale != 1.0:
+            s = self._limit_scale
+            clicks = [Click(c.is_positive,
+                            (c.coords[0] * s, c.coords[1] * s))
+                      for c in clicks]
         image = self.original_image
         tclicks = clicks
         if self.zoom_in is not None:
@@ -346,6 +367,8 @@ class FeatureBRSPredictor:
 
         if self.zoom_in is not None:
             prob = self.zoom_in.inv_transform(prob)
+        if self._limit_scale != 1.0:
+            prob = up_ac(prob, self._orig_hw)
         return prob[0, ..., 0]
 
     def get_states(self):

@@ -130,7 +130,19 @@ class HighResolutionNet(nn.Module):
     small: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    def __call__(self, x: jax.Array, mode: str = "full"):
+        """mode: 'full' -> (cls, aux) logits at stride 4;
+        'features' -> the concatenated stride-4 feature map (the f-BRS-B
+        insertion point for HRNet, reference brs.py:143-225);
+        'head' -> x IS the feature map, run only the OCR/aux heads."""
+        if mode == "head":
+            return self._head(x)
+        feats = self._features(x)
+        if mode == "features":
+            return feats
+        return self._head(feats)
+
+    def _features(self, x: jax.Array) -> jax.Array:
         w = self.width
         nb = 2 if self.small else 4
 
@@ -172,11 +184,12 @@ class HighResolutionNet(nn.Module):
 
         # Concat everything at stride 4 (hrnet_ocr.py:368-378).
         size = xs[0].shape[-3:-1]
-        feats = jnp.concatenate(
+        return jnp.concatenate(
             [xs[0]] + [up_ac(t, size) for t in xs[1:]], axis=-1)
 
+    def _head(self, feats: jax.Array) -> Tuple[jax.Array, jax.Array]:
         # Aux head -> soft object regions.
-        last = sum(widths4)
+        last = 15 * self.width
         aux = conv1x1(last, name="aux_head_conv1")(feats)
         aux = nn.relu(FrozenBatchNorm(last, name="aux_head_bn")(aux))
         out_aux = conv1x1(self.num_classes, name="aux_head_conv2")(aux)
@@ -255,8 +268,12 @@ class SpatialOCR(nn.Module):
 
 class FBRSHRNetModel(nn.Module):
     """DistMaps + rgb_conv + HRNet-OCR (is_hrnet_model.py:24-66).
-    Same call contract as FBRSDeepLabModel (models/fbrs.py): returns
-    full-resolution logits (+ aux)."""
+
+    Same call contract as FBRSDeepLabModel (models/fbrs.py), including
+    the head_input/head_replay split consumed by the on-device f-BRS-B
+    optimizer (interactive/fbrs_predictor.py): scale/bias insert on the
+    concatenated stride-4 HRNet features, replaying only the OCR heads
+    (the reference's HRNetFeatureBRSPredictor, brs.py:143-225)."""
 
     width: int = 18
     ocr_width: int = 64
@@ -264,20 +281,38 @@ class FBRSHRNetModel(nn.Module):
     norm_radius: float = 260.0
     max_points: int = 24
 
-    @nn.compact
+    def setup(self):
+        self.rgb_conv_0 = conv1x1(8)
+        self.rgb_conv_bn = FrozenBatchNorm(8)
+        self.rgb_conv_1 = conv1x1(3)
+        self.feature_extractor = HighResolutionNet(
+            self.width, 1, self.ocr_width, self.small)
+
+    def _backbone_input(self, image: jax.Array,
+                        points: jax.Array) -> jax.Array:
+        h, w = image.shape[1:3]
+        coord = dist_maps(points, h, w, self.norm_radius)
+        x = jnp.concatenate([image, coord], axis=-1)
+        x = self.rgb_conv_0(x)
+        x = nn.leaky_relu(x, negative_slope=0.2)
+        x = self.rgb_conv_bn(x)
+        return self.rgb_conv_1(x)
+
+    def head_input(self, image: jax.Array, points: jax.Array) -> jax.Array:
+        """-> (B, H/4, W/4, 15*width) features, the BRS insertion point."""
+        return self.feature_extractor(self._backbone_input(image, points),
+                                      mode="features")
+
+    def head_replay(self, feats: jax.Array, out_hw) -> jax.Array:
+        out, _aux = self.feature_extractor(feats, mode="head")
+        return up_ac(out, out_hw)
+
     def __call__(self, image: jax.Array, points: jax.Array,
                  with_aux: bool = False):
         """image (B, H, W, 3) normalized; points (B, 2P, 2) (y, x)."""
-        b, h, w, _ = image.shape
-        coord = dist_maps(points, h, w, self.norm_radius)
-        x = jnp.concatenate([image, coord], axis=-1)
-        x = conv1x1(8, name="rgb_conv_0")(x)
-        x = nn.leaky_relu(x, negative_slope=0.2)
-        x = FrozenBatchNorm(8, name="rgb_conv_bn")(x)
-        x = conv1x1(3, name="rgb_conv_1")(x)
-        out, aux = HighResolutionNet(self.width, 1, self.ocr_width,
-                                     self.small,
-                                     name="feature_extractor")(x)
+        h, w = image.shape[1:3]
+        out, aux = self.feature_extractor(
+            self._backbone_input(image, points))
         out = up_ac(out, (h, w))
         if with_aux:
             return out, up_ac(aux, (h, w))

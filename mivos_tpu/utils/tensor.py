@@ -17,6 +17,29 @@ import numpy as np
 Pad = Tuple[int, int, int, int]  # (left_w, right_w, top_h, bottom_h)
 
 
+def cast_params_bf16(params):
+    """Pre-cast conv weights to bfloat16 for inference, keeping frozen
+    BatchNorm statistics (any module whose name contains 'bn') in fp32.
+
+    flax casts fp32 params to the compute dtype at every call site;
+    inside a scanned propagation pass that cast re-executes per frame
+    (~the whole tower's weight bytes per step). Casting once up front
+    removes it, and params already in bf16 flow through promote_dtype
+    untouched."""
+    def walk(tree, in_bn):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = walk(v, in_bn or ("bn" in k.lower()))
+            elif in_bn or v.dtype != jnp.float32:
+                out[k] = v
+            else:
+                out[k] = v.astype(jnp.bfloat16)
+        return out
+
+    return walk(params, False)
+
+
 @functools.lru_cache(maxsize=65536)
 def dev_i32(v: int) -> jax.Array:
     """Cached scalar device_put. On remote-attached TPUs a host->device

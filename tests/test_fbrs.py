@@ -167,3 +167,31 @@ class TestEndToEndClicks:
         assert len(ctrl.controller.probs_history) == 3
         undone = ctrl.undo()
         assert undone is not None and len(ctrl.controller.probs_history) == 2
+
+
+class TestLimitLongestSide:
+    def test_oversize_input_resized_and_inverted(self, rng):
+        """max_size caps the network input; clicks are rescaled and the
+        output comes back at the original resolution (reference
+        transforms/limit_longest_side.py)."""
+        import jax
+        import jax.numpy as jnp
+
+        from mivos_tpu.interactive.clicker import Click, Clicker
+        from mivos_tpu.interactive.fbrs_predictor import FeatureBRSPredictor
+        from mivos_tpu.models.fbrs import FBRSDeepLabModel
+
+        net = FBRSDeepLabModel()
+        img0 = jnp.zeros((1, 64, 96, 3))
+        pts0 = jnp.zeros((1, 2, 2))
+        params = net.init(jax.random.PRNGKey(0), img0, pts0)
+        pred = FeatureBRSPredictor(net, params, zoom_in=None, maxiter=2,
+                                   max_size=96)
+        big = jnp.asarray(rng.rand(96, 192, 3).astype(np.float32))
+        pred.set_input_image(big)
+        assert pred.original_image.shape[1:3] == (48, 96)  # halved
+        clicker = Clicker()
+        clicker.add_click(Click(True, (48, 100)))
+        prob = np.asarray(pred.get_prediction(clicker))
+        assert prob.shape == (96, 192)  # back at original resolution
+        assert np.isfinite(prob).all()

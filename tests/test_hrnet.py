@@ -112,3 +112,42 @@ class TestHRNetReferenceParity:
                                    atol=2e-4)
         np.testing.assert_allclose(np.asarray(out), nhwc(ref_out),
                                    atol=2e-3)
+
+
+class TestHRNetBRSInterface:
+    def test_head_input_replay_matches_full(self, rng):
+        """head_input -> head_replay must reproduce __call__ exactly
+        (the f-BRS optimizer replays only the head)."""
+        net = FBRSHRNetModel(width=18, ocr_width=64, small=True)
+        img = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
+        pts = jnp.asarray([[[10, 12], [-1, -1], [30, 40], [-1, -1]]],
+                          jnp.float32)
+        params = net.init(jax.random.PRNGKey(0), img, pts)
+        full = net.apply(params, img, pts)
+        feats = net.apply(params, img, pts, method="head_input")
+        assert feats.shape == (1, 16, 24, 15 * 18)
+        replay = net.apply(params, feats, (64, 96), method="head_replay")
+        np.testing.assert_allclose(np.asarray(replay), np.asarray(full),
+                                   atol=1e-5)
+
+    def test_works_with_fbrs_predictor(self, rng):
+        """The generic FeatureBRSPredictor drives the HRNet variant via
+        the same head_input/head_replay contract."""
+        from mivos_tpu.interactive.clicker import Click, Clicker
+        from mivos_tpu.interactive.fbrs_predictor import FeatureBRSPredictor
+
+        net = FBRSHRNetModel(width=18, ocr_width=64, small=True)
+        img = jnp.zeros((1, 64, 96, 3))
+        pts = jnp.zeros((1, 2, 2))
+        params = net.init(jax.random.PRNGKey(0), img, pts)
+        pred = FeatureBRSPredictor(net, params, zoom_in=None, maxiter=2)
+        pred.set_input_image(jnp.asarray(
+            rng.rand(64, 96, 3).astype(np.float32)))
+        clicker = Clicker()
+        clicker.add_click(Click(True, (30, 40)))
+        p1 = np.asarray(pred.get_prediction(clicker))
+        assert p1.shape == (64, 96)
+        assert np.isfinite(p1).all() and 0 <= p1.min() and p1.max() <= 1
+        clicker.add_click(Click(False, (10, 80)))
+        p2 = np.asarray(pred.get_prediction(clicker))  # BRS path
+        assert np.isfinite(p2).all()

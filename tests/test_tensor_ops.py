@@ -126,3 +126,24 @@ class TestBuckets:
         b = T.memory_buckets(512)
         assert b[0] == 1 and b[-1] >= 512
         assert all(x < y for x, y in zip(b, b[1:]))
+
+
+class TestCastParamsBf16:
+    def test_bn_stays_fp32(self):
+        import jax.numpy as jnp
+        from mivos_tpu.utils.tensor import cast_params_bf16
+
+        params = {"params": {
+            "conv1": {"kernel": jnp.ones((3, 3, 4, 8)),
+                      "bias": jnp.zeros((8,))},
+            "bn1": {"scale": jnp.ones((8,)), "mean": jnp.zeros((8,)),
+                    "var": jnp.ones((8,)), "bias": jnp.zeros((8,))},
+            "transition1_0_bn": {"scale": jnp.ones((4,))},
+        }}
+        out = cast_params_bf16(params)
+        p = out["params"]
+        assert p["conv1"]["kernel"].dtype == jnp.bfloat16
+        assert p["conv1"]["bias"].dtype == jnp.bfloat16
+        assert p["bn1"]["scale"].dtype == jnp.float32
+        assert p["bn1"]["var"].dtype == jnp.float32
+        assert p["transition1_0_bn"]["scale"].dtype == jnp.float32
