@@ -21,6 +21,9 @@ def main():
     p.add_argument("--top_k", type=int, default=50)
     p.add_argument("--dtype", default="bfloat16",
                    help="conv-tower compute dtype (bfloat16|float32)")
+    p.add_argument("--read_backend", default="auto",
+                   help="memory-read backend: auto|pallas|xla_approx|"
+                        "xla_exact (see ops/memory_read.py)")
     args = p.parse_args()
 
     import jax
@@ -34,7 +37,8 @@ def main():
     from mivos_tpu.models.s2m import S2MNetwork as S2M
 
     dtype = None if args.dtype == "float32" else args.dtype
-    prop_net = PropagationNetwork(top_k=args.top_k, dtype=dtype)
+    prop_net = PropagationNetwork(top_k=args.top_k, dtype=dtype,
+                              read_backend=args.read_backend)
     prop_params = convert_prop_net(load_torch_state_dict(args.prop_model))
     fuse_net = FusionNet(dtype=dtype)
     fuse_params = convert_fusion_net(load_torch_state_dict(args.fusion_model))

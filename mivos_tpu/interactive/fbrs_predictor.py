@@ -386,3 +386,143 @@ class FeatureBRSPredictor:
         self.opt_data = states["opt_data"]
         self.input_data = states["input_data"]
         self._input_key = states["input_key"]
+
+
+# ---------------------------------------------------------------------------
+# Input-space BRS (RGB-BRS / DistMap-BRS)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=4)
+def _input_brs_fns(net, target: str, reg_weight: float = 1e-4,
+                   prob_thresh: float = 0.49, maxiter: int = 20):
+    """Optimize an additive input bias through the FULL network
+    (reference InputBRSPredictor, brs.py:228-280). target: 'rgb' or
+    'dist'. The whole L-BFGS runs on device like the feature variant."""
+
+    @jax.jit
+    def optimize(p, image, points, pos_map, neg_map, x0):
+        shape = x0.shape
+
+        def predict(xflat):
+            x = xflat.reshape(shape)
+            if target == "rgb":
+                rgb_bias = x
+                coord_bias = jnp.zeros(image.shape[:-1] + (2,))
+            else:
+                rgb_bias = jnp.zeros_like(image)
+                coord_bias = x
+            return net.apply(p, image, points, rgb_bias, coord_bias,
+                             method="forward_with_input_bias")
+
+        def loss_fn(xflat):
+            r = jax.nn.sigmoid(predict(xflat))
+            r = 0.5 * (r[:1] + r[1:, :, ::-1])
+            pos_diff = (1.0 - r) * pos_map
+            neg_diff = r * neg_map
+            loss = jnp.sum(pos_diff ** 2) / (jnp.sum(pos_map) + 1e-5) + \
+                jnp.sum(neg_diff ** 2) / (jnp.sum(neg_map) + 1e-5)
+            reg = reg_weight * jnp.sum(xflat ** 2)
+            return loss + reg, (jnp.max(jnp.abs(pos_diff)),
+                                jnp.max(jnp.abs(neg_diff)),
+                                (r > prob_thresh)[0, ..., 0])
+
+        def stop_fn(aux, last_mask):
+            fp_, fn_, mask = aux
+            ok = jnp.logical_and(fp_ < (1 - prob_thresh),
+                                 fn_ < prob_thresh)
+            return ok, mask
+
+        last0 = jnp.zeros(image.shape[1:3], bool)
+        best_x, _ = lbfgs_minimize(loss_fn, x0.reshape(-1),
+                                   maxiter=maxiter, memory_size=10,
+                                   stop_fn=stop_fn, stop_state0=last0)
+        return best_x.reshape(shape), predict(best_x)
+
+    return optimize
+
+
+class InputBRSPredictor(FeatureBRSPredictor):
+    """RGB-BRS / DistMap-BRS: the optimization variable is an additive
+    input bias instead of feature scale/bias. Inherits click handling,
+    ZoomIn, flip averaging, and LimitLongestSide from the feature
+    predictor; only the optimize step differs."""
+
+    def __init__(self, net, params, target: str = "rgb", **kw):
+        assert target in ("rgb", "dist")
+        super().__init__(net, params, **kw)
+        self.target = target
+        self._input_optimize = _input_brs_fns(net, target,
+                                              maxiter=kw.get("maxiter", 20))
+
+    def get_prediction(self, clicker) -> jax.Array:
+        clicks = clicker.get_clicks()
+        if self._limit_scale != 1.0:
+            s = self._limit_scale
+            clicks = [Click(c.is_positive,
+                            (c.coords[0] * s, c.coords[1] * s))
+                      for c in clicks]
+        image = self.original_image
+        tclicks = clicks
+        if self.zoom_in is not None:
+            image, tclicks = self.zoom_in.transform(image, clicks)
+        h, w = image.shape[1:3]
+        points = self._points_nd(tclicks)
+        fpoints = points.at[..., 1].set(
+            jnp.where(points[..., 1] >= 0, w - 1 - points[..., 1], -1.0))
+        batch = jnp.concatenate([image, image[:, :, ::-1]], axis=0)
+        bpoints = jnp.concatenate([points, fpoints], axis=0)
+
+        ch = 3 if self.target == "rgb" else 2
+        if self.opt_data is None or self.opt_data.shape != \
+                (2, h, w, ch):
+            self.opt_data = jnp.zeros((2, h, w, ch), jnp.float32)
+
+        pos_map, neg_map = self._clicks_maps(tclicks, (h, w))
+        if len(tclicks) > self.optimize_after_n_clicks:
+            self.opt_data, logits = self._input_optimize(
+                self.params, batch, bpoints, pos_map, neg_map,
+                self.opt_data)
+        else:
+            logits = self.net.apply(
+                self.params, batch, bpoints,
+                jnp.zeros_like(batch) if self.target == "rgb"
+                else jnp.zeros_like(batch),
+                jnp.zeros(batch.shape[:-1] + (2,)),
+                method="forward_with_input_bias")
+        prob = jax.nn.sigmoid(logits)
+        prob = 0.5 * (prob[:1] + prob[1:, :, ::-1])
+        if self.zoom_in is not None:
+            prob = self.zoom_in.inv_transform(prob)
+        if self._limit_scale != 1.0:
+            prob = up_ac(prob, self._orig_hw)
+        return prob[0, ..., 0]
+
+
+def get_predictor(net, params, brs_mode: str = "f-BRS-B",
+                  zoom_in_params: Optional[dict] = None,
+                  predictor_params: Optional[dict] = None):
+    """Predictor dispatch by BRS mode (reference
+    fbrs/inference/predictors/__init__.py:8-95).
+
+    NoBRS        -> no online optimization
+    f-BRS-A/B/C  -> feature scale/bias (this framework inserts at the
+                    model's head_input split: after-ASPP for DeepLab,
+                    after the HRNet feature concat)
+    RGB-BRS      -> additive bias on the RGB input
+    DistMap-BRS  -> additive bias on the click distance maps
+    """
+    zoom_in = None
+    if zoom_in_params is not None:
+        zoom_in = ZoomIn(**zoom_in_params)
+    kw = dict(predictor_params or {})
+    kw["zoom_in"] = zoom_in
+    if brs_mode == "NoBRS":
+        return FeatureBRSPredictor(net, params,
+                                   optimize_after_n_clicks=10 ** 9, **kw)
+    if brs_mode.startswith("f-BRS"):
+        return FeatureBRSPredictor(net, params, **kw)
+    if brs_mode == "RGB-BRS":
+        return InputBRSPredictor(net, params, target="rgb", **kw)
+    if brs_mode == "DistMap-BRS":
+        return InputBRSPredictor(net, params, target="dist", **kw)
+    raise ValueError(f"unknown BRS mode {brs_mode}")

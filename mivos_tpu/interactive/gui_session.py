@@ -20,7 +20,6 @@ from __future__ import annotations
 import os
 from typing import Callable, List, Optional, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from mivos_tpu.config import MemoryConfig

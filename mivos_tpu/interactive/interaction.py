@@ -16,7 +16,7 @@ from __future__ import annotations
 import time
 from collections import deque
 from copy import deepcopy
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import cv2
 import jax.numpy as jnp

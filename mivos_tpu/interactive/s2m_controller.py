@@ -8,7 +8,6 @@ assembly happens inside the jitted function.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import cv2
 import jax

@@ -170,18 +170,31 @@ class FBRSDeepLabModel(nn.Module):
         x = self.rgb_conv_bn(x)
         return self.rgb_conv_1(x)
 
+    def _features_from(self, x):
+        c1, _, _, c4 = self.backbone(x)
+        c1 = nn.relu(self.skip_project_bn(self.skip_project_conv(c1)))
+        a = self.aspp(c4)
+        a = up_ac(a, (c1.shape[-3], c1.shape[-2]))
+        return jnp.concatenate([a, c1], axis=-1)
+
     def head_input(self, image, points):
         """-> (B, H/4, W/4, ch+32) after-ASPP features: the cached tensor
         that f-BRS-B scales/biases (brs.py:121-140, insertion_mode
         'after_aspp')."""
         coord = dist_maps(points, image.shape[-3], image.shape[-2],
                           self.norm_radius)
-        x = self._rgb_conv(image, coord)
-        c1, _, _, c4 = self.backbone(x)
-        c1 = nn.relu(self.skip_project_bn(self.skip_project_conv(c1)))
-        a = self.aspp(c4)
-        a = up_ac(a, (c1.shape[-3], c1.shape[-2]))
-        return jnp.concatenate([a, c1], axis=-1)
+        return self._features_from(self._rgb_conv(image, coord))
+
+    def forward_with_input_bias(self, image, points, rgb_bias, coord_bias):
+        """Input-space BRS forward (reference InputBRSPredictor,
+        brs.py:228-280): additive optimization variables on the RGB
+        input ('RGB-BRS') or on the click distance maps
+        ('DistMap-BRS'). Returns full-resolution logits."""
+        h, w = image.shape[-3], image.shape[-2]
+        coord = dist_maps(points, h, w, self.norm_radius) + coord_bias
+        x = self._rgb_conv(image + rgb_bias, coord)
+        feats = self._features_from(x)
+        return self.head_replay(feats, (h, w))
 
     def head_replay(self, feats, out_hw: Tuple[int, int]):
         """The differentiable tail: _DeepLabHead (2 sep convs + 1x1) then

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 
 from mivos_tpu.models.layers import KeyValue, conv3x3
 from mivos_tpu.models.resnet import ResNet50
-from mivos_tpu.ops import memory_read as mr
+from mivos_tpu.ops.memory_read import (full_softmax_affinity,
+                                       memory_read as _memory_read)
 from mivos_tpu.ops.resize import area_downsample, bilinear_resize
 
 
@@ -67,7 +68,7 @@ class AttentionReadNetwork(nn.Module):
         mk = k16.reshape(b, h16 * w16, 128)
         qk = qk16.reshape(b, h16 * w16, 128)
         # Per-sample affinity: (B, M, N), softmax over memory axis.
-        aff = jax.vmap(lambda m, q: mr.full_softmax_affinity(m[None], q)[0])(mk, qk)
+        aff = jax.vmap(lambda m, q: full_softmax_affinity(m[None], q)[0])(mk, qk)
         pos = area_downsample(pos_mask, 16).reshape(b, 1, h16 * w16)
         neg = area_downsample(neg_mask, 16).reshape(b, 1, h16 * w16)
         pos_map = jnp.einsum("bom,bmn->bon", pos, aff)

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from mivos_tpu.models.layers import KeyValue, ResBlock, UpsampleBlock, conv3x3
 from mivos_tpu.models.resnet import ResNet50
-from mivos_tpu.ops import memory_read as mr
+from mivos_tpu.ops.memory_read import (full_softmax_affinity,
+                                       memory_read as _memory_read)
 from mivos_tpu.ops.resize import area_downsample, bilinear_resize, upsample2x
 
 KEY_DIM = 128
@@ -113,15 +114,18 @@ class PropagationNetwork(nn.Module):
         k = mem_k.shape[0]
         _, h16, w16, _ = k16.shape
         qk = k16.reshape(h16 * w16, KEY_DIM)
-        readout = mr.memory_read(mem_k, mem_v, qk, top_k=self.top_k,
+        readout = _memory_read(mem_k, mem_v, qk, top_k=self.top_k,
                                  valid=valid, km=self.km, query_hw=(h16, w16),
                                  backend=self.read_backend)
         readout = readout.reshape(k, h16, w16, VAL_DIM)
         qv = jnp.broadcast_to(v16, (k,) + v16.shape[1:])
         m4 = jnp.concatenate([readout, qv], axis=-1)  # (K, h16, w16, 1024)
-        f8k = jnp.broadcast_to(f8, (k,) + f8.shape[1:])
-        f4k = jnp.broadcast_to(f4, (k,) + f4.shape[1:])
-        logits = self.decoder(m4, f8k, f4k)
+        # f8/f4 stay batch-1: the decoder's skip towers are
+        # object-independent, so they run ONCE and broadcast at the
+        # residual add (the reference recomputes them per object via its
+        # batched=1 loop, prop_net.py:172-176 — ~2x decoder FLOPs saved
+        # at K=3).
+        logits = self.decoder(m4, f8, f4)
         return jax.nn.sigmoid(logits)
 
     def get_attention(self, mk16, pos_mask, neg_mask, qk16):
@@ -135,7 +139,7 @@ class PropagationNetwork(nn.Module):
         k, h, w, _ = pos_mask.shape
         h16, w16 = h // 16, w // 16
         qk = qk16.reshape(h16 * w16, KEY_DIM)
-        aff = mr.full_softmax_affinity(mk16, qk)  # (K, M, N) softmax over M
+        aff = full_softmax_affinity(mk16, qk)  # (K, M, N) softmax over M
         pos = area_downsample(pos_mask, 16).reshape(k, 1, h16 * w16)
         neg = area_downsample(neg_mask, 16).reshape(k, 1, h16 * w16)
         pos_map = jnp.einsum("kom,kmn->kon", pos, aff,

@@ -12,7 +12,7 @@ loop jit-stable; early exits turn remaining iterations into no-ops.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

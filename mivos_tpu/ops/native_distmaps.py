@@ -12,7 +12,6 @@ compiler is available.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 import threading
 from os import path

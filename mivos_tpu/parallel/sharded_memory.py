@@ -22,7 +22,6 @@ reference inference_core.py:36).
 """
 from __future__ import annotations
 
-import functools
 import math
 from typing import Optional
 

@@ -2,11 +2,9 @@
 resize_youtube.py) with a process pool; images bicubic, masks nearest."""
 import argparse
 import os
-from functools import partial
 from multiprocessing import Pool
 from os import path
 
-import numpy as np
 from PIL import Image
 
 from mivos_tpu.data.transforms import pick_480p_size

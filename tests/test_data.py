@@ -182,3 +182,38 @@ class TestLoader:
     def test_collate_stacks(self):
         out = collate([{"a": np.zeros((2,))}, {"a": np.ones((2,))}])
         assert out["a"].shape == (2, 2)
+
+
+class TestYouTubeVOSDataset:
+    def test_sparse_gt_and_label_mapping(self, tmp_path, rng):
+        """YV: sparse annotations, raw->dense label maps, 480p resize
+        (reference yv_test_dataset.py:16-122)."""
+        from mivos_tpu.data import YouTubeVOSTestDataset
+
+        img_dir = tmp_path / "vos/all_frames/valid/JPEGImages/vid0"
+        msk_dir = tmp_path / "vos/valid/Annotations/vid0"
+        os.makedirs(img_dir)
+        os.makedirs(msk_dir)
+        h, w, t = 120, 200, 4
+        for f in range(t):
+            Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8)).save(
+                img_dir / f"{f:05d}.jpg")
+        # GT only on frames 0 and 2, with sparse raw labels {3, 7}
+        for f, labs in [(0, [3]), (2, [3, 7])]:
+            lab = np.zeros((h, w), np.uint8)
+            lab[10:50, 20:80] = labs[0]
+            if len(labs) > 1:
+                lab[60:110, 100:180] = labs[1]
+            _save_p(lab, str(msk_dir / f"{f:05d}.png"))
+
+        ds = YouTubeVOSTestDataset(str(tmp_path), split="valid")
+        d = ds[0]
+        # short side resized to 480
+        assert min(d["rgb"].shape[1:3]) == 480
+        assert d["gt"].shape[0] == 2  # two raw labels
+        info = d["info"]
+        assert info["label_convert"] == {3: 1, 7: 2}
+        assert info["label_backward"] == {1: 3, 2: 7}
+        assert set(info["gt_obj"].keys()) == {0, 2}
+        # annotated frames carry mask, others zero
+        assert d["gt"][:, 1].sum() == 0 and d["gt"][:, 0].sum() > 0

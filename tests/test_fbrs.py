@@ -195,3 +195,53 @@ class TestLimitLongestSide:
         prob = np.asarray(pred.get_prediction(clicker))
         assert prob.shape == (96, 192)  # back at original resolution
         assert np.isfinite(prob).all()
+
+
+class TestPredictorDispatch:
+    def _setup(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from mivos_tpu.models.fbrs import FBRSDeepLabModel
+
+        net = FBRSDeepLabModel()
+        img0 = jnp.zeros((1, 48, 64, 3))
+        pts0 = jnp.zeros((1, 2, 2))
+        params = net.init(jax.random.PRNGKey(0), img0, pts0)
+        image = jnp.asarray(rng.rand(48, 64, 3).astype(np.float32))
+        return net, params, image
+
+    def test_get_predictor_modes(self, rng):
+        from mivos_tpu.interactive.fbrs_predictor import (
+            FeatureBRSPredictor, InputBRSPredictor, get_predictor)
+
+        net, params, _ = self._setup(rng)
+        assert isinstance(get_predictor(net, params, "NoBRS"),
+                          FeatureBRSPredictor)
+        p = get_predictor(net, params, "f-BRS-B")
+        assert isinstance(p, FeatureBRSPredictor)
+        p = get_predictor(net, params, "RGB-BRS")
+        assert isinstance(p, InputBRSPredictor) and p.target == "rgb"
+        p = get_predictor(net, params, "DistMap-BRS")
+        assert p.target == "dist"
+        with pytest.raises(ValueError):
+            get_predictor(net, params, "nope")
+
+    def test_input_brs_prediction(self, rng):
+        """RGB-BRS runs the full-network input-bias optimization on
+        device and returns a valid probability map."""
+        from mivos_tpu.interactive.clicker import Click, Clicker
+        from mivos_tpu.interactive.fbrs_predictor import get_predictor
+
+        net, params, image = self._setup(rng)
+        pred = get_predictor(net, params, "RGB-BRS",
+                             predictor_params={"maxiter": 2})
+        pred.set_input_image(image)
+        clicker = Clicker()
+        clicker.add_click(Click(True, (24, 30)))
+        p1 = np.asarray(pred.get_prediction(clicker))  # no opt yet
+        assert p1.shape == (48, 64)
+        clicker.add_click(Click(False, (5, 60)))
+        p2 = np.asarray(pred.get_prediction(clicker))  # optimized
+        assert np.isfinite(p2).all() and 0 <= p2.min() and p2.max() <= 1
+        assert pred.opt_data is not None and pred.opt_data.shape[-1] == 3

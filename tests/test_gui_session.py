@@ -142,3 +142,44 @@ class TestSessionMisc:
         assert masks.shape == (T, H, W)
         assert len(steps) == T - 1
         assert session.interacted_mask is None
+
+
+class TestClickInteractionInSession:
+    def test_click_flow_with_fake_controller(self, session):
+        """Click mode routes through the fbrs controller contract:
+        interact(image, x, y, positive) -> (nh, nw) object probability;
+        undo() -> previous map (reference interaction.py:265-335)."""
+
+        class FakeFBRS:
+            def __init__(self):
+                self.history = []
+
+            def unanchor(self):
+                pass
+
+            def interact(self, image, x, y, positive):
+                m = np.zeros((image.shape[0], image.shape[1]), np.float32)
+                y0, x0 = int(y), int(x)
+                m[max(0, y0 - 5):y0 + 5, max(0, x0 - 5):x0 + 5] = \
+                    1.0 if positive else 0.0
+                self.history.append(m)
+                return m
+
+            def undo(self):
+                self.history.pop()
+                return self.history[-1] if self.history else None
+
+        session.goto(0)
+        session.fbrs_controller = FakeFBRS()
+        session.current_object = 1
+        it = session.start_interaction("click")
+        session.push_point(30, 20, False)  # positive click (neg=False)
+        mask = session.predict()
+        assert (mask == 1).any()
+        # second click then undo returns to the first state
+        session.push_point(50, 40, False)
+        m2 = session.predict().copy()
+        assert session.undo()
+        m1 = session.current_mask()
+        assert not np.array_equal(m1, m2) or (m1 == m2).all()
+        assert it.can_undo() is not None
