@@ -333,6 +333,23 @@ class InferenceCore:
         return closest_ti
 
     SCAN_CHUNK = 16
+    SCAN_TAIL_CHUNK = 4
+
+    def _chunk_sizes(self, n: int) -> List[int]:
+        """Big chunks first, small tail chunks last: the final chunk's
+        label download cannot hide under later compute, so keeping it
+        small minimizes the unoverlapped tail. Only two executable
+        sizes ever compile."""
+        big, small = self.SCAN_CHUNK, self.SCAN_TAIL_CHUNK
+        sizes = [big] * (n // big)
+        rem = n % big
+        if rem:
+            sizes += [small] * (-(-rem // small))
+        # If everything fit in big chunks, split the last big one so the
+        # tail is still small (when there is more than one chunk).
+        elif len(sizes) > 1:
+            sizes[-1:] = [small] * (big // small)
+        return sizes
 
     def _do_pass_scan(self, key_k, idx: int, forward: bool,
                       closest_ti: int, frames: List[int], total_m: int,
@@ -345,7 +362,8 @@ class InferenceCore:
         chunk's packed label map starts an async host copy immediately —
         the download of chunk i rides under chunk i+1's compute."""
         n = len(frames)
-        chunk = self.SCAN_CHUNK
+        sizes = self._chunk_sizes(n)
+        n_pad_total = sum(sizes)
         # +1 scratch slot for padded steps, beyond the +1 transient.
         self.bank.reset(total_m + 1, self.certain_k, self.certain_v)
         scratch_row = (self.bank.cap - 1) * self.n16
@@ -363,7 +381,7 @@ class InferenceCore:
                     prev_in_mem = True
                 else:
                     prev_in_mem = False
-        n_pad = -(-n // chunk) * chunk
+        n_pad = n_pad_total
         rows += [rows[-1]] * (n_pad - n)
         wrows += [scratch_row] * (n_pad - n)
 
@@ -395,9 +413,10 @@ class InferenceCore:
         dummy = jnp.zeros((1,))
 
         bank_k, bank_v = self.bank.keys, self.bank.values
-        chunk_probs, chunk_packed = [], []
-        for c0 in range(0, n_pad, chunk):
-            c1 = c0 + chunk
+        chunk_probs, chunk_packed, offsets = [], [], []
+        c0 = 0
+        for size in sizes:
+            c1 = c0 + size
             bank_k, bank_v, probs, packed = self.scan_pass(
                 self.prop_params, self.fuse_params, bank_k, bank_v,
                 sl[c0:c1],
@@ -412,14 +431,19 @@ class InferenceCore:
                 pass  # backends without async host copies
             chunk_probs.append(probs)
             chunk_packed.append(packed)
+            offsets.append(c0)
+            c0 = c1
         self.bank.keys, self.bank.values = bank_k, bank_v
         self.bank.num_slots = m_front  # final commit count (observability)
 
+        ci = 0
         for j, ti in enumerate(frames):
-            self.set_prob(ti, chunk_probs[j // chunk][j % chunk])
+            while j >= offsets[ci] + sizes[ci]:
+                ci += 1
+            row = j - offsets[ci]
+            self.set_prob(ti, chunk_probs[ci][row])
             if self.k <= 15:  # 4-bit packing holds K+1 <= 16 labels
-                self._label_cache[ti] = (chunk_packed[j // chunk],
-                                         j % chunk)
+                self._label_cache[ti] = (chunk_packed[ci], row)
 
     def _time_coef(self, tc: int, tr: int, ti: int) -> jax.Array:
         nc = abs(tc - ti) / abs(tc - tr)

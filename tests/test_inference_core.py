@@ -127,3 +127,30 @@ def test_memory_bank_commits(setup):
     assert core2.bank.keys is not None
     assert core2.bank.cap * core2.n16 == core2.bank.keys.shape[1]
     np.testing.assert_array_equal(m2, core.np_masks)
+
+
+def test_chunk_sizes_schedule(setup):
+    core = fresh_core(setup)
+    for n in range(1, 70):
+        sizes = core._chunk_sizes(n)
+        assert sum(sizes) >= n
+        assert sum(sizes) - n < core.SCAN_TAIL_CHUNK  # minimal padding
+        assert set(sizes) <= {core.SCAN_CHUNK, core.SCAN_TAIL_CHUNK}
+        # tail chunk is small whenever there are multiple chunks
+        if len(sizes) > 1:
+            assert sizes[-1] == core.SCAN_TAIL_CHUNK
+        # big chunks come first
+        assert sizes == sorted(sizes, reverse=True)
+
+
+def test_various_pass_lengths_match_loop(setup):
+    """Scan chunking must agree with the per-frame loop for several
+    pass lengths (including < tail-chunk and exact-chunk lengths)."""
+    rng = np.random.RandomState(9)
+    mask = make_interaction_mask(rng)
+    for idx in [T - 2, T - 5, 0]:
+        a = fresh_core(setup)
+        b = fresh_core(setup)
+        ma = a.interact(mask, idx=idx).copy()
+        mb = b.interact(mask, idx=idx, step_cb=lambda: None).copy()
+        np.testing.assert_array_equal(ma, mb)
