@@ -21,6 +21,13 @@ class MemoryConfig:
     # (inference_core.py:44-63): 0 = all on device; 1 = frames on host,
     # results on device; 2/3 = both on host with shrinking buffers.
     mem_profile: int = 0
+    # Device-resident query-feature cache for multi-round sessions (the
+    # reference's q_buf, inference_core.py:96-104, rebuilt TPU-side):
+    # populated lazily from the second propagation pass onward so
+    # single-round sessions pay nothing; disabled when the video would
+    # exceed query_cache_bytes.
+    cache_queries: bool = True
+    query_cache_bytes: int = 3 << 30
 
     @property
     def query_buf_size(self) -> int:

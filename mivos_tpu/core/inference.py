@@ -40,6 +40,13 @@ from mivos_tpu.utils.tensor import (cast_params_bf16, dev_f32_pair, dev_i32,
 Query = Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _qcache_write(cache: jax.Array, chunk: jax.Array,
+                  start: jax.Array) -> jax.Array:
+    """In-place (donated) write of a contiguous frame range."""
+    return jax.lax.dynamic_update_slice(cache, chunk, (start, 0, 0, 0, 0))
+
+
 @functools.lru_cache(maxsize=8)
 def build_step_fns(prop_net: PropagationNetwork, fuse_net: Optional[FusionNet]):
     """Jitted step functions, cached per network config so the XLA
@@ -119,13 +126,18 @@ def build_scan_pass(prop_net: PropagationNetwork,
     """
 
     def body_fn(params, fuse_params, key_k, pos_diff, neg_diff, do_fuse,
-                carry, xs):
+                qmode, carry, xs):
         bank_k, bank_v = carry
         image = xs["image"]
         rows, wrow = xs["rows"], xs["wrow"]
         valid = jnp.arange(bank_k.shape[1]) < rows
-        f16, f8, f4, k16, v16 = prop_net.apply(params, image,
-                                               method="get_query_values")
+        if qmode == "cached":
+            f8, f4, k16, v16 = (xs["q8"], xs["q4"], xs["qk16"],
+                                xs["qv16"])
+            f16 = k16  # unused by segment_with_query
+        else:
+            f16, f8, f4, k16, v16 = prop_net.apply(
+                params, image, method="get_query_values")
         out = prop_net.apply(params, bank_k, bank_v, valid, f16, f8, f4,
                              k16, v16, method="segment_with_query")
         agg = aggregate_wbg(out, keep_bg=True)
@@ -140,25 +152,30 @@ def build_scan_pass(prop_net: PropagationNetwork,
         mk, mv = prop_net.apply(params, image, agg[1:], method="memorize")
         bank_k = jax.lax.dynamic_update_slice(bank_k, mk, (0, wrow, 0))
         bank_v = jax.lax.dynamic_update_slice(bank_v, mv, (0, wrow, 0))
-        return (bank_k, bank_v), agg
+        if qmode == "emit":
+            return (bank_k, bank_v), (agg, (f8, f4, k16, v16))
+        return (bank_k, bank_v), (agg, ())
 
-    @functools.partial(jax.jit, static_argnames=("do_fuse",),
+    @functools.partial(jax.jit, static_argnames=("do_fuse", "qmode"),
                        donate_argnums=(2, 3))
     def scan_pass(params, fuse_params, bank_k, bank_v, images_f, rows_f,
                   wrow_f, prev_probs_f, dist_f, key_k, pos_diff, neg_diff,
-                  do_fuse: bool):
+                  queries_f, do_fuse: bool, qmode: str = "compute"):
         xs = {"image": images_f, "rows": rows_f, "wrow": wrow_f}
         if do_fuse:
             xs["prev_prob"] = prev_probs_f
             xs["dist"] = dist_f
+        if qmode == "cached":
+            xs["q8"], xs["q4"], xs["qk16"], xs["qv16"] = queries_f
         body = functools.partial(body_fn, params, fuse_params, key_k,
-                                 pos_diff, neg_diff, do_fuse)
-        (bank_k, bank_v), probs = jax.lax.scan(body, (bank_k, bank_v), xs)
+                                 pos_diff, neg_diff, do_fuse, qmode)
+        (bank_k, bank_v), (probs, queries) = jax.lax.scan(
+            body, (bank_k, bank_v), xs)
         # 4-bit-packed label maps ship back to the host per chunk so the
         # download overlaps the next chunk's compute.
         lab = jnp.argmax(probs[..., 0], axis=1).astype(jnp.uint8)
         packed = (lab[..., 0::2] << 4) | lab[..., 1::2]
-        return bank_k, bank_v, probs, packed
+        return bank_k, bank_v, probs, packed, queries
 
     return scan_pass
 
@@ -214,6 +231,22 @@ class InferenceCore:
         # ti -> (device packed-label chunk, row) prefetched by the scan
         # passes; consumed (and de-staled by set_prob) in _render_masks.
         self._label_cache: Dict[int, tuple] = {}
+
+        # Device query-feature cache for multi-round sessions (config
+        # cache_queries): (q8, q4, qk16, qv16) arrays of shape
+        # (T, 1, h/s, w/s, C) in the compute dtype, populated lazily
+        # from the second pass onward.
+        h8, w8 = self.nh // 8, self.nw // 8
+        h16, w16 = self.nh // 16, self.nw // 16
+        qd = 2 if prop_net.dtype == "bfloat16" else 4
+        per_frame = qd * (h8 * w8 * 512 + (h8 * 2) * (w8 * 2) * 256
+                          + h16 * w16 * (128 + 512))
+        self._qcache = None
+        self._qcache_enabled = (
+            mem.cache_queries and mem.mem_profile == 0
+            and self.t * per_frame <= mem.query_cache_bytes)
+        self._qcached = np.zeros(self.t, bool)
+        self._pass_count = 0
 
         self.certain_k: Optional[jax.Array] = None  # (K, s*n, CK)
         self.certain_v: Optional[jax.Array] = None
@@ -412,23 +445,42 @@ class InferenceCore:
             pos_diff = neg_diff = jnp.zeros((1,))
         dummy = jnp.zeros((1,))
 
+        # Query-cache mode: reuse cached features when every frame of
+        # the pass has them; populate from the SECOND pass onward (the
+        # first pass stays write-free so single-round sessions pay no
+        # extra HBM traffic).
+        if self._qcache_enabled and all(self._qcached[ti] for ti in frames):
+            qmode = "cached"
+            q_all = self._qcache_slices(frames, forward, idx, n, n_pad)
+        elif self._qcache_enabled and self._pass_count >= 1:
+            qmode = "emit"
+            q_all = None
+        else:
+            qmode = "compute"
+            q_all = None
+        self._pass_count += 1
+
         bank_k, bank_v = self.bank.keys, self.bank.values
         chunk_probs, chunk_packed, offsets = [], [], []
         c0 = 0
         for size in sizes:
             c1 = c0 + size
-            bank_k, bank_v, probs, packed = self.scan_pass(
+            queries_f = (tuple(q[c0:c1] for q in q_all)
+                         if qmode == "cached" else dummy)
+            bank_k, bank_v, probs, packed, queries = self.scan_pass(
                 self.prop_params, self.fuse_params, bank_k, bank_v,
                 sl[c0:c1],
                 jnp.asarray(np.asarray(rows[c0:c1], np.int32)),
                 jnp.asarray(np.asarray(wrows[c0:c1], np.int32)),
                 prev_all[c0:c1] if do_fuse else dummy,
                 dist_all[c0:c1] if do_fuse else dummy,
-                key_k, pos_diff, neg_diff, do_fuse)
+                key_k, pos_diff, neg_diff, queries_f, do_fuse, qmode)
             try:
                 packed.copy_to_host_async()
             except Exception:
                 pass  # backends without async host copies
+            if qmode == "emit":
+                self._qcache_store(queries, frames, c0, size, n)
             chunk_probs.append(probs)
             chunk_packed.append(packed)
             offsets.append(c0)
@@ -444,6 +496,53 @@ class InferenceCore:
             self.set_prob(ti, chunk_probs[ci][row])
             if self.k <= 15:  # 4-bit packing holds K+1 <= 16 labels
                 self._label_cache[ti] = (chunk_packed[ci], row)
+
+    # ----- device query cache (multi-round reuse) -----
+
+    _QDIMS = ((8, 512), (4, 256), (16, 128), (16, 512))
+
+    def _qcache_alloc(self) -> None:
+        if self._qcache is not None:
+            return
+        dt = jnp.bfloat16 if self.prop_net.dtype == "bfloat16" \
+            else jnp.float32
+        self._qcache = [
+            jnp.zeros((self.t, 1, self.nh // s, self.nw // s, c), dt)
+            for s, c in self._QDIMS]
+
+    def _qcache_store(self, queries, frames: List[int], c0: int,
+                      size: int, n: int) -> None:
+        """Write one emitted chunk's query features back into the cache
+        (chunks cover contiguous frame ranges; backward passes flip)."""
+        valid = min(size, n - c0)
+        if valid <= 0:
+            return
+        self._qcache_alloc()
+        tis = frames[c0:c0 + valid]
+        ascending = tis[0] <= tis[-1]
+        start = tis[0] if ascending else tis[-1]
+        for i, q in enumerate(queries):
+            chunk = q[:valid]
+            if not ascending:
+                chunk = jnp.flip(chunk, axis=0)
+            self._qcache[i] = _qcache_write(self._qcache[i], chunk,
+                                            dev_i32(start))
+        self._qcached[tis] = True
+
+    def _qcache_slices(self, frames: List[int], forward: bool, idx: int,
+                       n: int, n_pad: int):
+        """(q8, q4, qk16, qv16) stacks aligned with the pass order."""
+        out = []
+        for q in self._qcache:
+            if forward:
+                sl = q[idx + 1:idx + 1 + n]
+            else:
+                sl = jnp.flip(q[idx - n:idx], axis=0)
+            if n_pad > n:
+                pad = jnp.broadcast_to(sl[-1:], (n_pad - n,) + sl.shape[1:])
+                sl = jnp.concatenate([sl, pad], axis=0)
+            out.append(sl)
+        return tuple(out)
 
     def _time_coef(self, tc: int, tr: int, ti: int) -> jax.Array:
         nc = abs(tc - ti) / abs(tc - tr)

@@ -154,3 +154,25 @@ def test_various_pass_lengths_match_loop(setup):
         ma = a.interact(mask, idx=idx).copy()
         mb = b.interact(mask, idx=idx, step_cb=lambda: None).copy()
         np.testing.assert_array_equal(ma, mb)
+
+
+def test_query_cache_rounds_match_uncached(setup):
+    """Multi-round sessions reuse device-cached query features from the
+    second pass onward; results must match the cache-less session
+    exactly (features are a pure function of the fixed frames)."""
+    rng = np.random.RandomState(11)
+    masks = [make_interaction_mask(rng) for _ in range(3)]
+    idxs = [0, T - 1, T // 2]
+
+    outs, cores = [], []
+    for cache in (True, False):
+        core = fresh_core(setup, cache_queries=cache)
+        outs.append([core.interact(m, idx=i).copy()
+                     for m, i in zip(masks, idxs)])
+        cores.append(core)
+    for a, b in zip(*outs):
+        np.testing.assert_array_equal(a, b)
+    assert cores[0]._qcached.sum() > 0       # cache actually populated
+    assert cores[1]._qcached.sum() == 0
+    # third-round passes consumed the cache (all frames covered by then)
+    assert cores[0]._qcache is not None

@@ -81,3 +81,21 @@ class TestPallasMemoryRead:
         auto = memory_read(mk, mv, q, top_k=30)
         approx = memory_read(mk, mv, q, top_k=30, backend="xla_approx")
         np.testing.assert_array_equal(np.asarray(auto), np.asarray(approx))
+
+    def test_bfloat16_bank_inputs(self, rng):
+        """Production config: bf16 keys/values, fp32 statistics. The
+        readout must stay within bf16 resolution of the fp32 exact
+        read."""
+        mk, mv, q = _peaky_inputs(rng, k=2, m=1200, n=160)
+        ref = memory_read(mk, mv, q, top_k=20, backend="xla_exact")
+        out = memory_read_pallas(mk.astype(jnp.bfloat16),
+                                 mv.astype(jnp.bfloat16),
+                                 q, top_k=20, interpret=True)
+        assert out.dtype == jnp.float32
+        err = np.abs(np.asarray(out) - np.asarray(ref))
+        scale = np.abs(np.asarray(ref)).max()
+        # bf16 keys carry ~0.4% relative affinity error which the exp
+        # amplifies near the top-k boundary; this matches the precision
+        # envelope of the reference's AMP fp16 inference path.
+        assert err.max() / scale < 0.08, err.max() / scale
+        assert err.mean() / scale < 5e-4, err.mean() / scale
