@@ -160,6 +160,17 @@ class FusionTrainer:
         return self._val_step(self.fuse_params, self.attn_params, batch,
                               jnp.int32(self.it))
 
+    def debug_outputs(self, batch: Dict) -> Dict:
+        """Forward outputs (mask/attn) as host numpy for the pool_fusion
+        training montage (reference fusion_model.py:101-112)."""
+        import numpy as np
+
+        batch = self.shard_batch(batch)
+        out = jax.jit(fusion_forward, static_argnums=(0, 1))(
+            self.fuse_net, self.attn_net, self.fuse_params,
+            self.attn_params, batch)
+        return {k: np.asarray(v) for k, v in out.items()}
+
     # ----- checkpoint state (orbax-ready pytree) -----
 
     def state_dict(self) -> Dict:

@@ -9,7 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from mivos_tpu.ops import memory_read as mr
+import importlib
+mr = importlib.import_module('mivos_tpu.ops.memory_read')
 
 
 def naive_topk_read(mem_k, mem_v, qk, top_k, valid=None):

@@ -173,3 +173,37 @@ class TestSyncBN:
                            torch.from_numpy(bias), training=True)
         np.testing.assert_allclose(np.asarray(y),
                                    ref.permute(0, 2, 3, 1).numpy(), atol=1e-4)
+
+
+def test_debug_outputs_for_montage(rng):
+    """debug_outputs feeds pool_fusion (reference fusion_model.py
+    logging path)."""
+    import jax as _jax
+    from mivos_tpu.config import TrainConfig
+    from mivos_tpu.parallel.mesh import make_mesh
+    from mivos_tpu.train.trainer import FusionTrainer
+    from mivos_tpu.utils.image_saver import pool_fusion
+
+    b, h, w = 2, 32, 32
+    m = lambda: rng.rand(b, h, w, 1).astype(np.float32)
+    batch = {
+        "rgb": rng.randn(b, h, w, 3).astype(np.float32),
+        "cls_gt": rng.randint(0, 3, (b, h, w)).astype(np.int32),
+        "gt": (m() > 0.5).astype(np.float32),
+        "seg1": m(), "seg2": m(),
+        "src2_ref": m(), "src2_ref_gt": (m() > 0.5).astype(np.float32),
+        "gt2": (m() > 0.5).astype(np.float32),
+        "seg12": m(), "seg22": m(),
+        "src2_ref2": m(), "src2_ref_gt2": (m() > 0.5).astype(np.float32),
+        "src2_ref_im": rng.randn(b, h, w, 3).astype(np.float32),
+        "dist": rng.rand(b, 2).astype(np.float32),
+        "selector": np.ones((b, 2), np.float32),
+    }
+    trainer = FusionTrainer(TrainConfig(iterations=10, steps=(8,),
+                                        batch_size=b), make_mesh(1))
+    trainer.init(batch)
+    out = trainer.debug_outputs(batch)
+    assert out["mask"].shape == (b, h, w, 3)
+    grid = pool_fusion(dict(batch, mask=out["mask"], attn1=out["attn1"],
+                            attn2=out["attn2"]), size=(48, 48))
+    assert grid.dtype == np.uint8 and grid.ndim == 3

@@ -119,6 +119,16 @@ def main():
                     last_report = time.time()
                     integrator.finalize("train", it)
                     integrator.reset_except_hooks()
+                if is_main and it % (cfg.report_every * 10) == 0 and it:
+                    # Training-pair montage (reference
+                    # fusion_model.py:101-112).
+                    from mivos_tpu.utils.image_saver import pool_fusion
+
+                    out = trainer.debug_outputs(batch)
+                    vis = dict(batch, mask=out["mask"],
+                               attn1=out["attn1"], attn2=out["attn2"])
+                    logger.log_cv2("train/pairs", pool_fusion(
+                        {k: np.asarray(v) for k, v in vis.items()}), it)
                 if is_main and it % cfg.save_every == 0 and it != 0:
                     mgr.save(it, trainer.state_dict())
             epoch += 1
