@@ -66,11 +66,28 @@ def build_session(args):
 
     s2m_ctrl = S2MController(s2m, s2m_params, args.num_objects)
     fbrs_ctrl = FBRSController(fbrs, fbrs_params)
-    return GuiSession(
+    session = GuiSession(
         prop_net, prop_params, fuse_net, fuse_params, s2m_ctrl, fbrs_ctrl,
         images, args.num_objects,
         mem=MemoryConfig(mem_freq=args.mem_freq,
-                         mem_profile=args.mem_profile)), frames
+                         mem_profile=args.mem_profile))
+
+    if args.masks:
+        # Preload existing annotation masks (reference
+        # interactive_gui.py --masks / load_masks).
+        import numpy as np
+
+        from mivos_tpu.interactive.video_io import load_masks
+
+        labs = load_masks(args.masks)
+        for ti in range(min(len(labs), session.t)):
+            if labs[ti].max() == 0:
+                continue
+            oh = np.stack([(labs[ti] == i)
+                           for i in range(args.num_objects + 1)]
+                          ).astype(np.float32)[..., None]
+            session.processor.update_mask_only(oh, ti)
+    return session, frames
 
 
 def main():

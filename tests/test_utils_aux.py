@@ -100,3 +100,45 @@ class TestImageSaver:
         assert grid.dtype == np.uint8
         assert grid.shape[0] == 13 * 64  # 13 captioned rows
         assert grid.shape[1] == (b + 1) * 64
+
+
+class TestInitializers:
+    def test_bilinear_kernel_interpolates(self):
+        import jax
+        import jax.numpy as jnp
+
+        from mivos_tpu.models.initializer import bilinear_kernel
+
+        w = bilinear_kernel(jax.random.PRNGKey(0), (4, 4, 2, 2))
+        assert w.shape == (4, 4, 2, 2)
+        # per-channel kernels, zero cross-channel
+        assert float(jnp.abs(w[:, :, 0, 1]).max()) == 0
+        # center weights dominate (separable triangle)
+        assert float(w[1, 1, 0, 0]) > float(w[0, 0, 0, 0])
+
+    def test_xavier_gluon_scale(self):
+        import jax
+        import numpy as np
+
+        from mivos_tpu.models.initializer import xavier_gluon
+
+        init = xavier_gluon("uniform", "avg", magnitude=3.0)
+        w = np.asarray(init(jax.random.PRNGKey(0), (3, 3, 16, 32)))
+        rf = 9
+        bound = (3.0 / ((16 * rf + 32 * rf) / 2)) ** 0.5
+        assert np.abs(w).max() <= bound + 1e-6
+        assert w.std() > bound / 4  # actually filled, roughly uniform
+
+
+class TestVis:
+    def test_draw_with_blend_and_clicks(self, rng):
+        from mivos_tpu.interactive.clicker import Click
+        from mivos_tpu.utils.vis import draw_with_blend_and_clicks
+
+        img = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+        mask = np.zeros((32, 32), np.uint8)
+        mask[8:24, 8:24] = 1
+        clicks = [Click(True, (16, 16)), Click(False, (4, 28))]
+        out = draw_with_blend_and_clicks(img, mask, clicks_list=clicks)
+        assert out.shape == img.shape and out.dtype == np.uint8
+        assert not np.array_equal(out, img)  # blended + click markers
