@@ -36,7 +36,6 @@ def build_session(args):
                                       convert_prop_net, convert_s2m,
                                       load_torch_state_dict)
     from mivos_tpu.config import MemoryConfig
-    from mivos_tpu.data.transforms import im_normalize
     from mivos_tpu.interactive.fbrs_controller import FBRSController
     from mivos_tpu.interactive.gui_session import GuiSession
     from mivos_tpu.interactive.s2m_controller import S2MController
@@ -53,7 +52,7 @@ def build_session(args):
         frames = load_images(args.images, min_side=args.resolution)
     else:
         raise SystemExit("provide --video or --images")
-    images = im_normalize(frames.astype("float32") / 255.0)
+    images = frames  # raw uint8; InferenceCore normalizes on device
 
     prop_net = PropagationNetwork(dtype=dtype)
     prop_params = convert_prop_net(load_torch_state_dict(args.prop_model))

@@ -47,6 +47,17 @@ def _qcache_write(cache: jax.Array, chunk: jax.Array,
     return jax.lax.dynamic_update_slice(cache, chunk, (start, 0, 0, 0, 0))
 
 
+@jax.jit
+def _normalize_frames(x: jax.Array) -> jax.Array:
+    """uint8 RGB -> ImageNet-normalized float32, ON DEVICE. Sessions
+    accept raw uint8 frames so the host->device upload ships 1 byte per
+    channel instead of 4 (the decoded-frame preprocessing fuses into
+    the device pipeline; the reference normalizes in PIL/cv2 on host)."""
+    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+    std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+    return (x.astype(jnp.float32) / 255.0 - mean) / std
+
+
 @functools.lru_cache(maxsize=8)
 def build_step_fns(prop_net: PropagationNetwork, fuse_net: Optional[FusionNet]):
     """Jitted step functions, cached per network config so the XLA
@@ -204,6 +215,13 @@ class InferenceCore:
          self.argmax_pack_fn) = build_step_fns(prop_net, fuse_net)
         self.scan_pass = build_scan_pass(prop_net, fuse_net)
 
+        if images.dtype == np.uint8 and mem.mem_profile == 0:
+            # Raw frames: upload the uint8 bytes, normalize on device.
+            images = _normalize_frames(jax.device_put(images))
+        elif images.dtype == np.uint8:
+            from mivos_tpu.data.transforms import im_normalize
+
+            images = im_normalize(np.asarray(images, np.float32) / 255.0)
         images = jnp.asarray(images)
         self.t = images.shape[0]
         self.h, self.w = images.shape[1:3]

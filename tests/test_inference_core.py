@@ -176,3 +176,25 @@ def test_query_cache_rounds_match_uncached(setup):
     assert cores[1]._qcached.sum() == 0
     # third-round passes consumed the cache (all frames covered by then)
     assert cores[0]._qcache is not None
+
+
+def test_uint8_frames_normalized_on_device(setup):
+    """Sessions accept raw uint8 frames (normalized on device); results
+    must match the pre-normalized float session."""
+    from mivos_tpu.data.transforms import im_denormalize
+
+    prop, pp, fuse, fp, images = setup
+    raw = (np.clip(im_denormalize(images), 0, 1) * 255).astype(np.uint8)
+    # re-derive the float frames the uint8 path should reproduce
+    from mivos_tpu.data.transforms import im_normalize
+    ref_float = im_normalize(raw.astype(np.float32) / 255.0)
+
+    rng = np.random.RandomState(13)
+    mask = make_interaction_mask(rng)
+    a = InferenceCore(prop, pp, fuse, fp, ref_float, K,
+                      mem=MemoryConfig(top_k=10, mem_freq=2))
+    b = InferenceCore(prop, pp, fuse, fp, raw, K,
+                      mem=MemoryConfig(top_k=10, mem_freq=2))
+    ma = a.interact(mask, idx=2)
+    mb = b.interact(mask, idx=2)
+    assert (ma == mb).mean() > 0.999
