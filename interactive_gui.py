@@ -32,7 +32,7 @@ def parse_args():
 
 
 def build_session(args):
-    from mivos_tpu.checkpoint import (convert_fbrs, convert_fusion_net,
+    from mivos_tpu.checkpoint import (convert_fusion_net,
                                       convert_prop_net, convert_s2m,
                                       load_torch_state_dict)
     from mivos_tpu.config import MemoryConfig
@@ -40,7 +40,7 @@ def build_session(args):
     from mivos_tpu.interactive.gui_session import GuiSession
     from mivos_tpu.interactive.s2m_controller import S2MController
     from mivos_tpu.interactive.video_io import load_images, load_video
-    from mivos_tpu.models.fbrs import FBRSDeepLabModel
+    from mivos_tpu.models import build_fbrs_from_state_dict
     from mivos_tpu.models.fusion import FusionNet
     from mivos_tpu.models.propagation import PropagationNetwork
     from mivos_tpu.models.s2m import S2MNetwork
@@ -60,8 +60,10 @@ def build_session(args):
     fuse_params = convert_fusion_net(load_torch_state_dict(args.fusion_model))
     s2m = S2MNetwork()
     s2m_params = convert_s2m(load_torch_state_dict(args.s2m_model))
-    fbrs = FBRSDeepLabModel()
-    fbrs_params = convert_fbrs(load_torch_state_dict(args.fbrs_model))
+    # Auto-detect DeepLab vs HRNet from the checkpoint shapes
+    # (reference fbrs/inference/utils.py:21-100).
+    fbrs, fbrs_params = build_fbrs_from_state_dict(
+        load_torch_state_dict(args.fbrs_model))
 
     s2m_ctrl = S2MController(s2m, s2m_params, args.num_objects)
     fbrs_ctrl = FBRSController(fbrs, fbrs_params)
