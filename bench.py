@@ -66,7 +66,7 @@ def main():
     # Measured: fresh session, one full interaction (forward pass over
     # T-1 frames with per-frame query encode + memory read + memorize).
     best = 0.0
-    for _ in range(5):
+    for _ in range(7):
         core = InferenceCore(prop, pp, fuse, fp, images, K, mem=mem)
         t0 = time.time()
         core.interact(mask, 0)
