@@ -198,3 +198,26 @@ def test_uint8_frames_normalized_on_device(setup):
     ma = a.interact(mask, idx=2)
     mb = b.interact(mask, idx=2)
     assert (ma == mb).mean() > 0.999
+
+
+def test_long_pass_crosses_bank_buckets(setup):
+    """mem_freq=1 over a long pass pushes the bank across bucket
+    boundaries; liveness masking must keep results consistent between
+    the scan and loop paths at every bucket size."""
+    prop, pp, fuse, fp, _ = setup
+    rng = np.random.RandomState(17)
+    t = 20
+    images = rng.rand(t, RH, RW, 3).astype(np.float32)
+    mask = make_interaction_mask(rng)
+
+    outs = []
+    for cb in (None, lambda: None):
+        core = InferenceCore(prop, pp, fuse, fp, images, K,
+                             mem=MemoryConfig(top_k=10, mem_freq=1))
+        # interact at the LAST frame: the (final) backward pass is the
+        # long one, so the bank state reflects it
+        outs.append(core.interact(mask, idx=t - 1, step_cb=cb).copy())
+        # 19 committed frames + certain slot -> capacity bucket > 16
+        assert core.bank.cap >= 20
+        assert core.bank.num_slots >= 19
+    np.testing.assert_array_equal(outs[0], outs[1])
