@@ -42,7 +42,7 @@ def main():
     prop_params = convert_prop_net(load_torch_state_dict(args.prop_model))
     fuse_net = FusionNet(dtype=dtype)
     fuse_params = convert_fusion_net(load_torch_state_dict(args.fusion_model))
-    s2m_net = S2M()
+    s2m_net = S2M(dtype=dtype)
     s2m_params = convert_s2m(load_torch_state_dict(args.s2m_model))
 
     summary = run_davis_interactive(

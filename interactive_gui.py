@@ -58,7 +58,7 @@ def build_session(args):
     prop_params = convert_prop_net(load_torch_state_dict(args.prop_model))
     fuse_net = FusionNet(dtype=dtype)
     fuse_params = convert_fusion_net(load_torch_state_dict(args.fusion_model))
-    s2m = S2MNetwork()
+    s2m = S2MNetwork(dtype=dtype)
     s2m_params = convert_s2m(load_torch_state_dict(args.s2m_model))
     # Auto-detect DeepLab vs HRNet from the checkpoint shapes
     # (reference fbrs/inference/utils.py:21-100).

@@ -22,14 +22,16 @@ class ConvBNReLU(nn.Module):
     features: int
     kernel: int = 3
     dilation: int = 1
+    dtype: str = None
 
     @nn.compact
     def __call__(self, x):
         if self.kernel == 1:
-            x = conv1x1(self.features, use_bias=False, name="conv")(x)
+            x = conv1x1(self.features, use_bias=False, name="conv",
+                        dtype=self.dtype)(x)
         else:
             x = conv3x3(self.features, dilation=self.dilation,
-                        use_bias=False, name="conv")(x)
+                        use_bias=False, name="conv", dtype=self.dtype)(x)
         x = FrozenBatchNorm(self.features, name="bn")(x)
         return nn.relu(x)
 
@@ -41,20 +43,25 @@ class ASPP(nn.Module):
     frozen, matching the reference's eval-mode usage)."""
 
     rates: Tuple[int, int, int] = (6, 12, 18)
+    dtype: str = None
 
     @nn.compact
     def __call__(self, x):
         h, w = x.shape[-3], x.shape[-2]
-        branches = [ConvBNReLU(256, kernel=1, name="b0")(x)]
+        branches = [ConvBNReLU(256, kernel=1, dtype=self.dtype,
+                               name="b0")(x)]
         for i, r in enumerate(self.rates):
             branches.append(ConvBNReLU(256, kernel=3, dilation=r,
+                                       dtype=self.dtype,
                                        name=f"b{i + 1}")(x))
         gp = jnp.mean(x, axis=(-3, -2), keepdims=True)
-        gp = ConvBNReLU(256, kernel=1, name="pool_conv")(gp)
+        gp = ConvBNReLU(256, kernel=1, dtype=self.dtype,
+                        name="pool_conv")(gp)
         gp = jnp.broadcast_to(gp, gp.shape[:-3] + (h, w, gp.shape[-1]))
         branches.append(gp)
         x = jnp.concatenate(branches, axis=-1)
-        return ConvBNReLU(256, kernel=1, name="project")(x)
+        return ConvBNReLU(256, kernel=1, dtype=self.dtype,
+                          name="project")(x)
 
 
 class DeepLabHeadV3Plus(nn.Module):
@@ -63,15 +70,19 @@ class DeepLabHeadV3Plus(nn.Module):
 
     num_classes: int = 1
     aspp_rates: Tuple[int, int, int] = (6, 12, 18)
+    dtype: str = None
 
     @nn.compact
     def __call__(self, out_feat, low_level_feat):
-        low = ConvBNReLU(48, kernel=1, name="project")(low_level_feat)
-        x = ASPP(self.aspp_rates, name="aspp")(out_feat)
+        low = ConvBNReLU(48, kernel=1, dtype=self.dtype,
+                         name="project")(low_level_feat)
+        x = ASPP(self.aspp_rates, dtype=self.dtype, name="aspp")(out_feat)
         x = bilinear_resize(x, (low.shape[-3], low.shape[-2]))
         x = jnp.concatenate([low, x], axis=-1)
-        x = ConvBNReLU(256, kernel=3, name="classifier0")(x)
-        return conv1x1(self.num_classes, name="classifier1")(x)
+        x = ConvBNReLU(256, kernel=3, dtype=self.dtype,
+                       name="classifier0")(x)
+        return conv1x1(self.num_classes, dtype=self.dtype,
+                       name="classifier1")(x)
 
 
 class S2MNetwork(nn.Module):
@@ -80,6 +91,8 @@ class S2MNetwork(nn.Module):
 
     num_classes: int = 1
     in_chans: int = 6
+    # Compute dtype ('bfloat16' for production inference); params fp32.
+    dtype: str = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -88,7 +101,7 @@ class S2MNetwork(nn.Module):
         h, w = x.shape[-3], x.shape[-2]
         out, _, _, low = ResNet50(in_chans=self.in_chans, num_stages=4,
                                   layer4_dilation=2, conv_bias=False,
-                                  name="backbone")(x)
-        logits = DeepLabHeadV3Plus(self.num_classes, name="classifier")(
-            out, low)
-        return bilinear_resize(logits, (h, w))
+                                  dtype=self.dtype, name="backbone")(x)
+        logits = DeepLabHeadV3Plus(self.num_classes, dtype=self.dtype,
+                                   name="classifier")(out, low)
+        return bilinear_resize(logits.astype(jnp.float32), (h, w))
