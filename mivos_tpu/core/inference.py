@@ -152,6 +152,14 @@ def build_scan_pass(prop_net: PropagationNetwork,
         out = prop_net.apply(params, bank_k, bank_v, valid, f16, f8, f4,
                              k16, v16, method="segment_with_query")
         agg = aggregate_wbg(out, keep_bg=True)
+        # Memorize the PRE-fusion aggregate: the reference commits memory
+        # before fuse_one_frame runs (inference_core.py:178 vs :190-194),
+        # and the per-frame path above does the same (propagate_step
+        # memorizes inside the step; fusion is applied after). Fusion only
+        # affects the emitted probabilities, never the bank contents.
+        mk, mv = prop_net.apply(params, image, agg[1:], method="memorize")
+        bank_k = jax.lax.dynamic_update_slice(bank_k, mk, (0, wrow, 0))
+        bank_v = jax.lax.dynamic_update_slice(bank_v, mv, (0, wrow, 0))
         if do_fuse:
             k = agg.shape[0] - 1
             attn = prop_net.apply(params, key_k, pos_diff, neg_diff, k16,
@@ -160,9 +168,6 @@ def build_scan_pass(prop_net: PropagationNetwork,
             logits = fuse_net.apply(fuse_params, im, xs["prev_prob"][1:],
                                     agg[1:], attn, xs["dist"])
             agg = aggregate_wbg(jax.nn.sigmoid(logits), keep_bg=True)
-        mk, mv = prop_net.apply(params, image, agg[1:], method="memorize")
-        bank_k = jax.lax.dynamic_update_slice(bank_k, mk, (0, wrow, 0))
-        bank_v = jax.lax.dynamic_update_slice(bank_v, mv, (0, wrow, 0))
         if qmode == "emit":
             return (bank_k, bank_v), (agg, (f8, f4, k16, v16))
         return (bank_k, bank_v), (agg, ())

@@ -156,6 +156,26 @@ def test_various_pass_lengths_match_loop(setup):
         np.testing.assert_array_equal(ma, mb)
 
 
+def test_fusion_scan_matches_loop(setup):
+    """With fusion ACTIVE (two interacted frames), the scan path must
+    agree with the per-frame loop — in particular both must memorize the
+    PRE-fusion aggregate (reference inference_core.py:178 memorizes
+    before fuse_one_frame at :190-194); banking the fused mask instead
+    silently drifts every later frame of the pass."""
+    rng = np.random.RandomState(21)
+    m1, m2 = make_interaction_mask(rng), make_interaction_mask(rng)
+    cores = [fresh_core(setup), fresh_core(setup)]
+    cbs = [None, lambda: None]  # scan path vs forced per-frame loop
+    outs, probs = [], []
+    for core, cb in zip(cores, cbs):
+        core.interact(m1, idx=0, step_cb=cb)
+        outs.append(core.interact(m2, idx=T - 1, step_cb=cb).copy())
+        probs.append(np.asarray(
+            jnp.stack([core.get_prob(ti) for ti in range(T)])))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_allclose(probs[0], probs[1], atol=2e-6)
+
+
 def test_query_cache_rounds_match_uncached(setup):
     """Multi-round sessions reuse device-cached query features from the
     second pass onward; results must match the cache-less session
