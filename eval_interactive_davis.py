@@ -37,8 +37,10 @@ def main():
     from mivos_tpu.models.s2m import S2MNetwork as S2M
 
     dtype = None if args.dtype == "float32" else args.dtype
-    prop_net = PropagationNetwork(top_k=args.top_k, dtype=dtype,
-                              read_backend=args.read_backend)
+    # top_k flows through MemoryConfig only (the single source of truth
+    # for read knobs); InferenceCore applies it to the network.
+    prop_net = PropagationNetwork(dtype=dtype,
+                                  read_backend=args.read_backend)
     prop_params = convert_prop_net(load_torch_state_dict(args.prop_model))
     fuse_net = FusionNet(dtype=dtype)
     fuse_params = convert_fusion_net(load_torch_state_dict(args.fusion_model))

@@ -207,6 +207,12 @@ class InferenceCore:
                  fuse_net: Optional[FusionNet], fuse_params,
                  images, num_objects: int,
                  mem: MemoryConfig = MemoryConfig()):
+        # MemoryConfig is the single source of truth for the read knobs:
+        # top_k and km on the network are cloned to match, so callers
+        # configure the memory read in exactly one place (the params are
+        # read-time-only attributes — cloning never touches weights).
+        if (mem.top_k, mem.km) != (prop_net.top_k, prop_net.km):
+            prop_net = prop_net.clone(top_k=mem.top_k, km=mem.km)
         if prop_net.dtype == "bfloat16":
             prop_params = cast_params_bf16(prop_params)
             if fuse_params is not None and fuse_net is not None and \

@@ -27,15 +27,19 @@ def run_davis_interactive(prop_net, prop_params, fuse_net, fuse_params,
                           max_nb_interactions: int = 8,
                           max_time_per_interaction: int = 30,
                           save_mask: bool = False,
-                          mem: MemoryConfig = MemoryConfig()) -> Dict:
+                          mem: MemoryConfig = MemoryConfig(),
+                          subset: str = "trainval",
+                          imset: str = "2017/val.txt") -> Dict:
     """Runs the full DavisInteractiveSession and returns the global
     summary dict (AUC-J&F, J&F@60s — reference
-    eval_interactive_davis.py:74-108)."""
+    eval_interactive_davis.py:74-108). subset/imset select the DAVIS
+    split; they must match the DavisInteractiveSession configuration
+    (defaults are the standard val benchmark)."""
     from davisinteractive.session.session import DavisInteractiveSession
 
     os.makedirs(out_path, exist_ok=True)
-    trainval = path.join(davis_root, "trainval")
-    dataset = DAVISTestDataset(trainval, imset="2017/val.txt")
+    trainval = path.join(davis_root, subset)
+    dataset = DAVISTestDataset(trainval, imset=imset)
     images: Dict[str, np.ndarray] = {}
     num_objects: Dict[str, int] = {}
     for i in range(len(dataset)):

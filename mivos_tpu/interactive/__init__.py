@@ -1,6 +1,7 @@
 """Interaction-to-mask layer: interactions, controllers, predictors,
 clicker, headless GUI session (reference: interact/, fbrs/)."""
 from mivos_tpu.interactive.clicker import Click, Clicker
+from mivos_tpu.interactive.crops import Crops, TiledPredictor
 from mivos_tpu.interactive.fbrs_controller import (FBRSController,
                                                    InteractiveController)
 from mivos_tpu.interactive.fbrs_predictor import (FeatureBRSPredictor,
@@ -15,7 +16,7 @@ from mivos_tpu.interactive.s2m_controller import S2MController
 
 __all__ = [
     "Click", "ClickInteraction", "Clicker", "CropperInteraction",
-    "FBRSController", "FeatureBRSPredictor", "FreeInteraction",
+    "Crops", "FBRSController", "FeatureBRSPredictor", "FreeInteraction",
     "GuiSession", "InteractiveController", "LocalInteraction",
-    "S2MController", "ScribbleInteraction", "ZoomIn",
+    "S2MController", "ScribbleInteraction", "TiledPredictor", "ZoomIn",
 ]

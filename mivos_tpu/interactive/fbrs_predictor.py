@@ -37,22 +37,45 @@ CLICK_BUCKETS = (1, 2, 4, 8, 12, 16, 24)
 # jitted pieces (shared per model config via lru_cache)
 # ---------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=4)
-def _fbrs_fns(net: FBRSDeepLabModel, reg_weight: float = 1e-3,
+# insertion mode -> (head-input method, replay method, input-is-pair).
+# DeepLab modes are the reference's brs.py:54-140 insertion points;
+# 'A'/'C' are the HRNet variants (brs.py:143-225). For 'after_c4' the
+# cached input is a PAIR (c4, projected c1): scale/bias applies to c4,
+# c1 stays constant through the optimization.
+INSERTION_MODES = {
+    "after_aspp": ("head_input", "head_replay", False),
+    "after_c4": ("head_input_c4", "head_replay_c4", True),
+    "after_deeplab": ("head_input_deeplab", "head_replay_deeplab", False),
+    "A": ("head_input", "head_replay", False),
+    "C": ("head_input_ocr", "head_replay_cls", False),
+}
+
+
+@functools.lru_cache(maxsize=16)
+def _fbrs_fns(net: FBRSDeepLabModel, insertion_mode: str = "after_aspp",
+              reg_weight: float = 1e-3,
               reg_bias_weight: float = 10.0, prob_thresh: float = 0.49,
               min_iou_diff: float = 0.01, maxiter: int = 20):
+    in_method, replay_method, pair = INSERTION_MODES[insertion_mode]
+
     head_input = jax.jit(
         lambda p, image, points: net.apply(p, image, points,
-                                           method="head_input"))
+                                           method=in_method))
+
+    def _replay(p, feats, aux, out_h, out_w):
+        if pair:
+            return net.apply(p, feats, aux, (out_h, out_w),
+                             method=replay_method)
+        return net.apply(p, feats, (out_h, out_w), method=replay_method)
+
+    @jax.jit
+    def full_forward(p, image, points):
+        return net.apply(p, image, points)
 
     @functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
-    def full_forward(p, image, points, out_h, out_w):
-        feats = net.apply(p, image, points, method="head_input")
-        return net.apply(p, feats, (out_h, out_w), method="head_replay")
-
-    @functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
-    def optimize(p, feats, pos_mask, neg_mask, x0, out_h, out_w):
-        """feats: (B, h, w, C) cached head input (B=2 with flip);
+    def optimize(p, feats, aux, pos_mask, neg_mask, x0, out_h, out_w):
+        """feats: (B, h, w, C) cached head input (B=2 with flip); aux:
+        constant side features for pair modes (0-size dummy otherwise);
         pos/neg_mask: (1, out_h, out_w, 1) click maps; x0: (2C,)
         scale/bias vector. Returns (best_x, logits_at_best)."""
         c = feats.shape[-1]
@@ -62,7 +85,7 @@ def _fbrs_fns(net: FBRSDeepLabModel, reg_weight: float = 1e-3,
             bias = x[c:]
             scaled = feats * scale[None, None, None, :] + \
                 bias[None, None, None, :]
-            return net.apply(p, scaled, (out_h, out_w), method="head_replay")
+            return _replay(p, scaled, aux, out_h, out_w)
 
         def loss_fn(x):
             logits = predict(x)
@@ -97,7 +120,42 @@ def _fbrs_fns(net: FBRSDeepLabModel, reg_weight: float = 1e-3,
                                    stop_state0=last_mask0)
         return best_x, predict(best_x)
 
-    return head_input, full_forward, optimize
+    @functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+    def optimize_oracle(p, feats, aux, gt, x0, out_h, out_w):
+        """OracleMaskLoss BRS (reference brs_losses.py:29-58): optimize
+        the scale/bias toward the GROUND-TRUTH mask via from-sigmoid BCE
+        instead of the click constraints. gt: (1, out_h, out_w, 1).
+        The reference's 5-step loss-plateau cutoff becomes a
+        consecutive-step plateau in the jitted while_loop."""
+        from mivos_tpu.train.fbrs_losses import sigmoid_bce_from_probs
+
+        c = feats.shape[-1]
+
+        def predict(x):
+            scale = 1.0 + x[:c]
+            bias = x[c:]
+            scaled = feats * scale[None, None, None, :] + \
+                bias[None, None, None, :]
+            return _replay(p, scaled, aux, out_h, out_w)
+
+        def loss_fn(x):
+            result = jax.nn.sigmoid(predict(x))
+            gt2 = jnp.concatenate([gt, gt[:, :, ::-1]], axis=0)
+            loss = jnp.mean(sigmoid_bce_from_probs(result, gt2))
+            reg = reg_weight * (jnp.sum(x[:c] ** 2) +
+                                reg_bias_weight * jnp.sum(x[c:] ** 2))
+            return loss + reg, loss
+
+        def stop_fn(aux_loss, last_loss):
+            plateau = jnp.abs(aux_loss - last_loss) < 1e-5
+            return plateau, aux_loss
+
+        best_x, _ = lbfgs_minimize(loss_fn, x0, maxiter=maxiter,
+                                   memory_size=20, stop_fn=stop_fn,
+                                   stop_state0=jnp.inf)
+        return best_x, predict(best_x)
+
+    return head_input, full_forward, optimize, optimize_oracle
 
 
 # ---------------------------------------------------------------------------
@@ -250,22 +308,33 @@ class ZoomIn:
 # ---------------------------------------------------------------------------
 
 class FeatureBRSPredictor:
-    """f-BRS-B over a DistMapsModel (reference brs.py:54-140 with
-    insertion_mode='after_aspp', always with_flip + flip_average)."""
+    """Feature-space BRS over a DistMapsModel (reference brs.py:54-225),
+    always with_flip + flip_average. insertion_mode selects where the
+    scale/bias variables insert: 'after_c4' (f-BRS-A), 'after_aspp'
+    (f-BRS-B), 'after_deeplab' (f-BRS-C) for DeepLab models, 'A'/'C'
+    for HRNet models."""
 
     def __init__(self, net: FBRSDeepLabModel, params,
                  zoom_in: Optional[ZoomIn] = None,
                  net_clicks_limit: int = 8,
                  optimize_after_n_clicks: int = 1,
                  maxiter: int = 20,
-                 max_size: Optional[int] = None):
+                 max_size: Optional[int] = None,
+                 insertion_mode: str = "after_aspp"):
         self.net = net
         self.params = params
         self.zoom_in = zoom_in
         self.net_clicks_limit = net_clicks_limit
         self.optimize_after_n_clicks = optimize_after_n_clicks
-        self._head_input, self._full_forward, self._optimize = _fbrs_fns(
-            net, maxiter=maxiter)
+        self.insertion_mode = insertion_mode
+        self._input_is_pair = INSERTION_MODES[insertion_mode][2]
+        (self._head_input, self._full_forward, self._optimize,
+         self._optimize_oracle) = _fbrs_fns(net, insertion_mode,
+                                            maxiter=maxiter)
+        # OracleMaskLoss hook (reference brs_losses.py:29-58): when a GT
+        # mask is attached, the BRS optimization targets it instead of
+        # the click constraints (upper-bound experiments).
+        self.oracle_gt = None
         # LimitLongestSide (reference transforms/limit_longest_side.py):
         # downscale oversize inputs before prediction, invert at the end.
         self.max_size = max_size
@@ -349,18 +418,27 @@ class FeatureBRSPredictor:
             self.input_data = self._head_input(self.params, batch, bpoints)
             self._input_key = feats_key
 
-        c = self.input_data.shape[-1]
+        if self._input_is_pair:
+            feats, aux = self.input_data
+        else:
+            feats, aux = self.input_data, jnp.zeros((0,))
+        c = feats.shape[-1]
         if self.opt_data is None or self.opt_data.shape[0] != 2 * c:
             self.opt_data = jnp.zeros((2 * c,), jnp.float32)
 
         pos_map, neg_map = self._clicks_maps(tclicks, (h, w))
         if num_clicks > self.optimize_after_n_clicks:
-            self.opt_data, logits = self._optimize(
-                self.params, self.input_data, pos_map, neg_map,
-                self.opt_data, h, w)
+            if self.oracle_gt is not None:
+                gt = self._oracle_gt_for_crop((h, w))
+                self.opt_data, logits = self._optimize_oracle(
+                    self.params, feats, aux, gt, self.opt_data, h, w)
+            else:
+                self.opt_data, logits = self._optimize(
+                    self.params, feats, aux, pos_map, neg_map,
+                    self.opt_data, h, w)
             prob = jax.nn.sigmoid(logits)
         else:
-            logits = self._full_forward(self.params, batch, bpoints, h, w)
+            logits = self._full_forward(self.params, batch, bpoints)
             prob = jax.nn.sigmoid(logits)
         # flip-average back to a single map
         prob = 0.5 * (prob[:1] + prob[1:, :, ::-1])
@@ -370,6 +448,33 @@ class FeatureBRSPredictor:
         if self._limit_scale != 1.0:
             prob = up_ac(prob, self._orig_hw)
         return prob[0, ..., 0]
+
+    def set_oracle_gt(self, gt_mask) -> None:
+        """gt_mask: (H, W) or (1, H, W, 1) at the ORIGINAL image
+        resolution, or None to return to click-constraint BRS."""
+        if gt_mask is None:
+            self.oracle_gt = None
+            return
+        gt = jnp.asarray(gt_mask, jnp.float32)
+        if gt.ndim == 2:
+            gt = gt[None, ..., None]
+        self.oracle_gt = gt
+
+    def _oracle_gt_for_crop(self, hw) -> jax.Array:
+        """GT mask in the frame of the current network input: follow
+        LimitLongestSide scaling and the ZoomIn ROI crop (reference
+        brs_losses.py:44-48 crops to predictor.object_roi and resizes
+        align_corners)."""
+        gt = self.oracle_gt
+        if self._limit_scale != 1.0:
+            gt = up_ac(gt, self.original_image.shape[1:3])
+        roi = self.zoom_in._object_roi if self.zoom_in is not None else None
+        if roi is not None:
+            r1, r2, c1, c2 = roi[:4]
+            gt = gt[:, r1:r2 + 1, c1:c2 + 1]
+        if gt.shape[1:3] != tuple(hw):
+            gt = up_ac(gt, tuple(hw))
+        return gt
 
     def get_states(self):
         return {
@@ -505,12 +610,14 @@ def get_predictor(net, params, brs_mode: str = "f-BRS-B",
     fbrs/inference/predictors/__init__.py:8-95).
 
     NoBRS        -> no online optimization
-    f-BRS-A/B/C  -> feature scale/bias (this framework inserts at the
-                    model's head_input split: after-ASPP for DeepLab,
-                    after the HRNet feature concat)
+    f-BRS-A      -> feature scale/bias after c4 (DeepLab) / HRNet 'A'
+    f-BRS-B      -> after ASPP (DeepLab) / HRNet 'A'
+    f-BRS-C      -> after the DeepLab head / HRNet 'C' (after OCR)
     RGB-BRS      -> additive bias on the RGB input
     DistMap-BRS  -> additive bias on the click distance maps
     """
+    from mivos_tpu.models.hrnet import FBRSHRNetModel
+
     zoom_in = None
     if zoom_in_params is not None:
         zoom_in = ZoomIn(**zoom_in_params)
@@ -520,9 +627,19 @@ def get_predictor(net, params, brs_mode: str = "f-BRS-B",
         return FeatureBRSPredictor(net, params,
                                    optimize_after_n_clicks=10 ** 9, **kw)
     if brs_mode.startswith("f-BRS"):
-        return FeatureBRSPredictor(net, params, **kw)
+        insertion = {"f-BRS-A": "after_c4", "f-BRS-B": "after_aspp",
+                     "f-BRS-C": "after_deeplab"}[brs_mode]
+        if isinstance(net, FBRSHRNetModel):
+            # HRNet maps A and B to the pre-OCR insertion, C to post-OCR
+            # (reference predictors/__init__.py:61-63).
+            insertion = {"after_c4": "A", "after_aspp": "A",
+                         "after_deeplab": "C"}[insertion]
+        return FeatureBRSPredictor(net, params, insertion_mode=insertion,
+                                   **kw)
     if brs_mode == "RGB-BRS":
+        kw.setdefault("net_clicks_limit", 5)
         return InputBRSPredictor(net, params, target="rgb", **kw)
     if brs_mode == "DistMap-BRS":
+        kw.setdefault("net_clicks_limit", 5)
         return InputBRSPredictor(net, params, target="dist", **kw)
     raise ValueError(f"unknown BRS mode {brs_mode}")

@@ -185,6 +185,48 @@ class FBRSDeepLabModel(nn.Module):
                           self.norm_radius)
         return self._features_from(self._rgb_conv(image, coord))
 
+    def head_input_c4(self, image, points):
+        """f-BRS-A insertion (brs.py:121-140, 'after_c4'): cache the raw
+        backbone c4 (the scale/bias target, 2048 ch) plus the projected
+        c1 skip features (constant through the optimization)."""
+        coord = dist_maps(points, image.shape[-3], image.shape[-2],
+                          self.norm_radius)
+        c1, _, _, c4 = self.backbone(self._rgb_conv(image, coord))
+        c1 = nn.relu(self.skip_project_bn(self.skip_project_conv(c1)))
+        return c4, c1
+
+    def head_input_deeplab(self, image, points):
+        """f-BRS-C insertion (brs.py:54-67, 'after_deeplab'): cache the
+        full DeepLab feature-extractor output (ch=256, post _DeepLabHead,
+        reference deeplab_v3.py:72-81); only SepConvHead replays."""
+        feats = self.head_input(image, points)
+        return self._deeplab_head(feats)
+
+    def _deeplab_head(self, x):
+        """_DeepLabHead (deeplab_v3.py:100-113): 2 sep convs + 1x1."""
+        x = self.head_sep0(x)
+        x = self.head_sep1(x)
+        return self.head_out(x)
+
+    def _sep_conv_head(self, x, out_hw: Tuple[int, int]):
+        """SepConvHead (basic_blocks.py:27-52) + align-corners upsample."""
+        x = self.sep_head0(x)
+        x = self.sep_head1(x)
+        x = self.sep_head_out(x)
+        return up_ac(x, out_hw)
+
+    def head_replay_c4(self, c4, c1, out_hw: Tuple[int, int]):
+        """f-BRS-A replay (brs.py:91-103): ASPP over the scaled c4,
+        upsample, concat the cached c1 skip, then both heads."""
+        a = self.aspp(c4)
+        a = up_ac(a, (c1.shape[-3], c1.shape[-2]))
+        feats = jnp.concatenate([a, c1], axis=-1)
+        return self._sep_conv_head(self._deeplab_head(feats), out_hw)
+
+    def head_replay_deeplab(self, feats, out_hw: Tuple[int, int]):
+        """f-BRS-C replay: only SepConvHead runs per L-BFGS evaluation."""
+        return self._sep_conv_head(feats, out_hw)
+
     def forward_with_input_bias(self, image, points, rgb_bias, coord_bias):
         """Input-space BRS forward (reference InputBRSPredictor,
         brs.py:228-280): additive optimization variables on the RGB
@@ -197,16 +239,10 @@ class FBRSDeepLabModel(nn.Module):
         return self.head_replay(feats, (h, w))
 
     def head_replay(self, feats, out_hw: Tuple[int, int]):
-        """The differentiable tail: _DeepLabHead (2 sep convs + 1x1) then
-        SepConvHead then align-corners upsample to out_hw
+        """The differentiable tail for f-BRS-B: _DeepLabHead (2 sep convs
+        + 1x1) then SepConvHead then align-corners upsample to out_hw
         (brs.py:82-103)."""
-        x = self.head_sep0(feats)
-        x = self.head_sep1(x)
-        x = self.head_out(x)
-        x = self.sep_head0(x)
-        x = self.sep_head1(x)
-        x = self.sep_head_out(x)
-        return up_ac(x, out_hw)
+        return self._sep_conv_head(self._deeplab_head(feats), out_hw)
 
     def __call__(self, image, points):
         """Full forward -> (B, H, W, 1) logits (is_deeplab_model.py:50-66)."""

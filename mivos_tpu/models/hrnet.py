@@ -132,11 +132,19 @@ class HighResolutionNet(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, mode: str = "full"):
         """mode: 'full' -> (cls, aux) logits at stride 4;
-        'features' -> the concatenated stride-4 feature map (the f-BRS-B
-        insertion point for HRNet, reference brs.py:143-225);
-        'head' -> x IS the feature map, run only the OCR/aux heads."""
+        'features' -> the concatenated stride-4 feature map (HRNet
+        insertion mode 'A', reference brs.py:146-160);
+        'head' -> x IS the feature map, run only the OCR/aux heads;
+        'ocr_features' -> x IS the feature map, run aux + OCR pipeline
+        and return the 2*ocr_width context features (HRNet insertion
+        mode 'C', reference brs.py:215-225);
+        'cls' -> x IS the OCR context features, run only cls_head."""
         if mode == "head":
             return self._head(x)
+        if mode == "ocr_features":
+            return self._ocr(x)[0]
+        if mode == "cls":
+            return conv1x1(self.num_classes, name="cls_head")(x)
         feats = self._features(x)
         if mode == "features":
             return feats
@@ -187,20 +195,23 @@ class HighResolutionNet(nn.Module):
         return jnp.concatenate(
             [xs[0]] + [up_ac(t, size) for t in xs[1:]], axis=-1)
 
-    def _head(self, feats: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        # Aux head -> soft object regions.
+    def _ocr(self, feats: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Aux head + OCR object-context pipeline -> (ocr_feats, aux)."""
         last = 15 * self.width
         aux = conv1x1(last, name="aux_head_conv1")(feats)
         aux = nn.relu(FrozenBatchNorm(last, name="aux_head_bn")(aux))
         out_aux = conv1x1(self.num_classes, name="aux_head_conv2")(aux)
 
-        # OCR distribution head.
         mid = 2 * self.ocr_width
         f = conv3x3(mid, name="conv3x3_ocr_conv")(feats)
         f = nn.relu(FrozenBatchNorm(mid, name="conv3x3_ocr_bn")(f))
         context = spatial_gather(f, out_aux)
         f = SpatialOCR(mid, self.ocr_width, name="ocr_distri_head")(
             f, context)
+        return f, out_aux
+
+    def _head(self, feats: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        f, out_aux = self._ocr(feats)
         out = conv1x1(self.num_classes, name="cls_head")(f)
         return out, out_aux
 
@@ -299,13 +310,27 @@ class FBRSHRNetModel(nn.Module):
         return self.rgb_conv_1(x)
 
     def head_input(self, image: jax.Array, points: jax.Array) -> jax.Array:
-        """-> (B, H/4, W/4, 15*width) features, the BRS insertion point."""
+        """-> (B, H/4, W/4, 15*width) features: HRNet insertion mode 'A'
+        (f-BRS-A and f-BRS-B both map here, reference
+        predictors/__init__.py:63 + brs.py:146-160)."""
         return self.feature_extractor(self._backbone_input(image, points),
                                       mode="features")
 
     def head_replay(self, feats: jax.Array, out_hw) -> jax.Array:
         out, _aux = self.feature_extractor(feats, mode="head")
         return up_ac(out, out_hw)
+
+    def head_input_ocr(self, image: jax.Array,
+                       points: jax.Array) -> jax.Array:
+        """HRNet insertion mode 'C' (f-BRS-C, reference brs.py:215-225):
+        cache the 2*ocr_width object-context features; only cls_head
+        replays per L-BFGS evaluation."""
+        feats = self.feature_extractor(self._backbone_input(image, points),
+                                       mode="features")
+        return self.feature_extractor(feats, mode="ocr_features")
+
+    def head_replay_cls(self, feats: jax.Array, out_hw) -> jax.Array:
+        return up_ac(self.feature_extractor(feats, mode="cls"), out_hw)
 
     def __call__(self, image: jax.Array, points: jax.Array,
                  with_aux: bool = False):

@@ -64,7 +64,9 @@ def _fallback(points: np.ndarray, height: int, width: int,
     ys = np.arange(height, dtype=np.float32)
     xs = np.arange(width, dtype=np.float32)
     for i in range(n):
-        py, px = points[i]
+        # Integer pixel origins, matching the reference Cython BFS and
+        # the native dense_sweep/multi_source_bfs paths.
+        py, px = round(float(points[i, 0])), round(float(points[i, 1]))
         if py < 0 or px < 0:
             continue
         layer = 1 if i >= n // 2 else 0

@@ -73,6 +73,65 @@ def sigmoid_bce_loss(pred_logits: jax.Array, label: jax.Array,
     return jnp.mean(_flat(loss * sw), axis=1)
 
 
+def sigmoid_bce_from_probs(pred: jax.Array, label: jax.Array,
+                           ignore_label: int = -1,
+                           eps: float = 1e-12) -> jax.Array:
+    """BCE on PROBABILITIES (reference losses.py:128-134, the
+    from_sigmoid=True branch used by OracleMaskLoss). Returns (B,)."""
+    sw = (label != ignore_label).astype(pred.dtype)
+    lab = jnp.where(sw > 0, label.astype(pred.dtype), 0.0)
+    loss = -(jnp.log(pred + eps) * lab
+             + jnp.log(1.0 - pred + eps) * (1.0 - lab))
+    return jnp.mean(_flat(loss * sw), axis=1)
+
+
+class OracleMaskLoss:
+    """GT-oracle BRS loss (reference brs_losses.py:29-58): instead of
+    the click-constraint loss, drive the BRS optimization toward the
+    ground-truth mask (from-sigmoid BCE) — the upper-bound experiment
+    variant of the predictor surface. Keeps the reference's 5-step
+    loss-plateau cutoff (|loss[-5] - loss[-1]| < 1e-5 -> signal the
+    optimizer to stop by returning zero loss and satisfied click maxima).
+
+    Call contract matches BRSMaskLoss: (result, pos_mask, neg_mask) ->
+    (loss, f_max_pos, f_max_neg); the click maps are ignored. When a
+    predictor with an active ZoomIn is attached, the GT is cropped to
+    the predictor's object ROI and align-corners-resized to the result
+    (reference brs_losses.py:44-48)."""
+
+    def __init__(self):
+        self.gt_mask: Optional[jax.Array] = None
+        self.predictor = None
+        self.history: list = []
+
+    def set_gt_mask(self, gt_mask) -> None:
+        """gt_mask: (1, H, W, 1) float probabilities/labels."""
+        self.gt_mask = jnp.asarray(gt_mask)
+        self.history = []
+
+    def __call__(self, result: jax.Array, pos_mask=None, neg_mask=None):
+        from mivos_tpu.ops.resize import \
+            bilinear_resize_align_corners as up_ac
+
+        gt = self.gt_mask
+        roi = getattr(getattr(self.predictor, "zoom_in", None),
+                      "_object_roi", None)
+        if roi is not None:
+            r1, r2, c1, c2 = roi[:4]
+            gt = gt[:, r1:r2 + 1, c1:c2 + 1]
+        if gt.shape[1:3] != result.shape[1:3]:
+            gt = up_ac(gt, result.shape[1:3])
+        if result.shape[0] == 2 * gt.shape[0]:
+            gt = jnp.concatenate([gt, gt[:, :, ::-1]], axis=0)
+
+        loss = jnp.mean(sigmoid_bce_from_probs(result, gt))
+        self.history.append(float(loss))
+        if len(self.history) > 5 and \
+                abs(self.history[-5] - self.history[-1]) < 1e-5:
+            return 0.0, 0.0, 0.0
+        return loss, 1.0, 1.0
+
+
 def compute_iou(pred_mask: jax.Array, gt_mask: jax.Array,
                 ignore_mask: Optional[jax.Array] = None) -> np.ndarray:
     """Per-sample IoU over non-empty unions (reference metrics.py:86-101)."""

@@ -36,8 +36,12 @@ void dense_sweep(const float* points, int n_points, int height, int width,
                  float inv_norm, float* out) {
   const int hw = height * width;
   for (int i = 0; i < n_points; ++i) {
-    const float py = points[2 * i];
-    const float px = points[2 * i + 1];
+    // Round to integer pixel origins like the reference Cython BFS
+    // (_get_dist_maps.pyx casts coords to int) and this file's own
+    // multi_source_bfs path — keeps both strategies and the reference
+    // bitwise-consistent for sub-pixel click coordinates.
+    const float py = static_cast<float>(std::lround(points[2 * i]));
+    const float px = static_cast<float>(std::lround(points[2 * i + 1]));
     if (py < 0 || px < 0) continue;
     float* layer = out + (i >= n_points / 2 ? hw : 0);
     for (int r = 0; r < height; ++r) {

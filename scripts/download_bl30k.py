@@ -38,7 +38,16 @@ def main():
             print(f"downloading segment {seg} ...")
             urllib.request.urlretrieve(urls[seg], tar_path)
         with tarfile.open(tar_path) as tf:
-            tf.extractall(args.output)
+            # Refuse path-traversal members from a compromised mirror.
+            try:
+                tf.extractall(args.output, filter="data")
+            except TypeError:  # Python < 3.12
+                base = os.path.realpath(args.output)
+                for m in tf.getmembers():
+                    dest = os.path.realpath(os.path.join(base, m.name))
+                    if not dest.startswith(base + os.sep):
+                        raise SystemExit(f"unsafe tar member: {m.name}")
+                tf.extractall(args.output)
         os.remove(tar_path)
     print("done")
 

@@ -26,6 +26,12 @@ def fetch_and_extract(gid: str, out: str) -> None:
     if not os.path.exists(out):
         gdown.download(id=gid, output=out, quiet=False)
     with zipfile.ZipFile(out) as zf:
+        # Refuse path-traversal members from a compromised mirror.
+        base = os.path.realpath(os.path.dirname(out))
+        for name in zf.namelist():
+            dest = os.path.realpath(os.path.join(base, name))
+            if dest != base and not dest.startswith(base + os.sep):
+                raise SystemExit(f"unsafe zip member: {name}")
         zf.extractall(os.path.dirname(out))
     os.remove(out)
 

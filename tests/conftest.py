@@ -31,3 +31,8 @@ assert jax.devices()[0].platform == "cpu", jax.devices()
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+@pytest.fixture(scope="class")
+def class_rng():
+    return np.random.RandomState(0)

@@ -245,3 +245,113 @@ class TestPredictorDispatch:
         p2 = np.asarray(pred.get_prediction(clicker))  # optimized
         assert np.isfinite(p2).all() and 0 <= p2.min() and p2.max() <= 1
         assert pred.opt_data is not None and pred.opt_data.shape[-1] == 3
+
+
+class TestInsertionModes:
+    """f-BRS-A/B/C insertion points (reference brs.py:54-140 for DeepLab,
+    :143-225 for HRNet; dispatch predictors/__init__.py:48-63)."""
+
+    @pytest.fixture(scope="class")
+    def deeplab(self, class_rng):
+        net = FBRSDeepLabModel()
+        img0 = jnp.zeros((1, 48, 64, 3))
+        pts0 = jnp.zeros((1, 2, 2))
+        params = net.init(jax.random.PRNGKey(0), img0, pts0)
+        img = jnp.asarray(class_rng.rand(2, 48, 64, 3).astype(np.float32))
+        pts = jnp.asarray([[[10, 12], [30, 40]], [[11, 13], [31, 41]]],
+                          jnp.float32)
+        return net, params, img, pts
+
+    def test_after_c4_replay_matches_full(self, deeplab):
+        net, params, img, pts = deeplab
+        full = net.apply(params, img, pts)
+        c4, c1 = net.apply(params, img, pts, method="head_input_c4")
+        assert c4.shape[-1] == 2048    # aspp_in_channels
+        assert c1.shape[-1] == 32      # skip projection
+        replay = net.apply(params, c4, c1, (48, 64),
+                           method="head_replay_c4")
+        np.testing.assert_allclose(np.asarray(replay), np.asarray(full),
+                                   atol=1e-5)
+
+    def test_after_deeplab_replay_matches_full(self, deeplab):
+        net, params, img, pts = deeplab
+        full = net.apply(params, img, pts)
+        feats = net.apply(params, img, pts, method="head_input_deeplab")
+        assert feats.shape[-1] == 256  # feature_extractor.ch
+        replay = net.apply(params, feats, (48, 64),
+                           method="head_replay_deeplab")
+        np.testing.assert_allclose(np.asarray(replay), np.asarray(full),
+                                   atol=1e-5)
+
+    @pytest.mark.parametrize("mode,channels", [
+        ("f-BRS-A", 2048), ("f-BRS-B", 256 + 32), ("f-BRS-C", 256)])
+    def test_lbfgs_converges_per_mode(self, deeplab, mode, channels):
+        """Each insertion mode runs the on-device L-BFGS and the click
+        constraint moves the prediction toward the click."""
+        from mivos_tpu.interactive.clicker import Click, Clicker
+        from mivos_tpu.interactive.fbrs_predictor import get_predictor
+
+        net, params, img, _ = deeplab
+        pred = get_predictor(net, params, mode,
+                             predictor_params={"maxiter": 4})
+        assert pred.insertion_mode == {
+            "f-BRS-A": "after_c4", "f-BRS-B": "after_aspp",
+            "f-BRS-C": "after_deeplab"}[mode]
+        base = get_predictor(net, params, "NoBRS")
+        clicker = Clicker()
+        clicker.add_click(Click(True, (24, 30)))
+        clicker.add_click(Click(False, (5, 60)))
+        for p in (pred, base):
+            p.set_input_image(img[0])
+        p2 = np.asarray(pred.get_prediction(clicker))       # optimized
+        p0 = np.asarray(base.get_prediction(clicker))       # raw net
+        assert pred.opt_data.shape == (2 * channels,)
+        assert np.isfinite(p2).all() and p2.shape == (48, 64)
+
+        # L-BFGS keeps the best iterate (x0=0 reproduces the raw net:
+        # scale=1, bias=0), so the BRS click loss can only improve.
+        def click_loss(p):
+            return (1.0 - p[24, 30]) ** 2 + p[5, 60] ** 2
+
+        assert click_loss(p2) <= click_loss(p0) + 1e-5
+
+    def test_hrnet_mode_c_replay_matches_full(self, class_rng):
+        from mivos_tpu.models.hrnet import FBRSHRNetModel
+
+        net = FBRSHRNetModel(width=18, ocr_width=64, small=True)
+        img = jnp.asarray(class_rng.rand(1, 64, 96, 3).astype(np.float32))
+        pts = jnp.asarray([[[10, 12], [-1, -1], [30, 40], [-1, -1]]],
+                          jnp.float32)
+        params = net.init(jax.random.PRNGKey(0), img, pts)
+        full = net.apply(params, img, pts)
+        feats = net.apply(params, img, pts, method="head_input_ocr")
+        assert feats.shape[-1] == 2 * 64    # 2 * ocr_width
+        replay = net.apply(params, feats, (64, 96),
+                           method="head_replay_cls")
+        np.testing.assert_allclose(np.asarray(replay), np.asarray(full),
+                                   atol=1e-5)
+
+    def test_hrnet_dispatch_and_lbfgs(self, class_rng):
+        """get_predictor maps f-BRS-A/B -> HRNet 'A', f-BRS-C -> 'C'
+        (reference predictors/__init__.py:61-63) and mode C optimizes."""
+        from mivos_tpu.interactive.clicker import Click, Clicker
+        from mivos_tpu.interactive.fbrs_predictor import get_predictor
+        from mivos_tpu.models.hrnet import FBRSHRNetModel
+
+        net = FBRSHRNetModel(width=18, ocr_width=64, small=True)
+        img0 = jnp.zeros((1, 64, 96, 3))
+        pts0 = jnp.zeros((1, 2, 2))
+        params = net.init(jax.random.PRNGKey(0), img0, pts0)
+        assert get_predictor(net, params, "f-BRS-A").insertion_mode == "A"
+        assert get_predictor(net, params, "f-BRS-B").insertion_mode == "A"
+        pred = get_predictor(net, params, "f-BRS-C",
+                             predictor_params={"maxiter": 2})
+        assert pred.insertion_mode == "C"
+        img = jnp.asarray(class_rng.rand(64, 96, 3).astype(np.float32))
+        pred.set_input_image(img)
+        clicker = Clicker()
+        clicker.add_click(Click(True, (32, 48)))
+        clicker.add_click(Click(False, (5, 90)))
+        p = np.asarray(pred.get_prediction(clicker))
+        assert pred.opt_data.shape == (2 * 2 * 64,)
+        assert np.isfinite(p).all() and p.shape == (64, 96)

@@ -241,3 +241,25 @@ def test_long_pass_crosses_bank_buckets(setup):
         assert core.bank.cap >= 20
         assert core.bank.num_slots >= 19
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_memory_config_is_read_source_of_truth(setup):
+    """MemoryConfig.top_k/km must drive the memory read even when the
+    network was built with different attributes (VERDICT r1: dead config
+    fields) — InferenceCore clones the net to match."""
+    prop, pp, fuse, fp, images = setup   # prop has top_k=10
+    rng = np.random.RandomState(23)
+    mask = make_interaction_mask(rng)
+
+    core_default = InferenceCore(prop, pp, fuse, fp, images, K,
+                                 mem=MemoryConfig(top_k=10, mem_freq=2))
+    assert core_default.prop_net.top_k == 10
+
+    core_k1 = InferenceCore(prop, pp, fuse, fp, images, K,
+                            mem=MemoryConfig(top_k=1, mem_freq=2))
+    assert core_k1.prop_net.top_k == 1
+    assert prop.top_k == 10              # original module untouched
+
+    out_a = core_default.interact(mask, idx=3).copy()
+    out_b = core_k1.interact(mask, idx=3).copy()
+    assert (out_a != out_b).any()        # the knob actually changed the read
