@@ -141,6 +141,18 @@ def main():
             self.save_button = QPushButton("Save")
             self.save_button.clicked.connect(self.on_save)
 
+            # Minimap + zoom pane (reference :150-160, :222-229).
+            self.minimap = QLabel()
+            self.minimap.setMinimumSize(100, 100)
+            self.minimap.setAlignment(Qt.AlignTop)
+            self.zoom_p_button = QPushButton("Zoom +")
+            self.zoom_p_button.clicked.connect(self.on_zoom_plus)
+            self.zoom_m_button = QPushButton("Zoom -")
+            self.zoom_m_button.clicked.connect(self.on_zoom_minus)
+            self.finish_local_button = QPushButton("Finish Local")
+            self.finish_local_button.clicked.connect(self.on_finish_local)
+            self.finish_local_button.setEnabled(False)
+
             self.radio_group = QButtonGroup(self)
             radios = QHBoxLayout()
             for name in ["Click", "Scribble", "Free"]:
@@ -171,7 +183,25 @@ def main():
             layout.addWidget(QLabel("Brush size"))
             layout.addWidget(self.brush_slider)
             layout.addWidget(self.console)
-            self.setLayout(layout)
+
+            minimap_area = QVBoxLayout()
+            minimap_area.setAlignment(Qt.AlignTop)
+            minimap_area.addWidget(QLabel("Minimap"))
+            minimap_ctrl = QHBoxLayout()
+            minimap_ctrl.addWidget(self.zoom_p_button)
+            minimap_ctrl.addWidget(self.zoom_m_button)
+            minimap_ctrl.addWidget(self.finish_local_button)
+            minimap_area.addLayout(minimap_ctrl)
+            minimap_area.addWidget(self.minimap)
+            minimap_area.addWidget(QLabel(
+                "Ctrl+drag selects a local control region."))
+
+            outer = QHBoxLayout()
+            outer.addLayout(layout, 3)
+            outer.addLayout(minimap_area, 1)
+            self.setLayout(outer)
+
+            self.local_anchor = None  # ctrl-drag region select
 
             self.play_timer = QTimer(self)
             self.play_timer.timeout.connect(self.next_frame)
@@ -182,12 +212,29 @@ def main():
             self.console.appendPlainText(
                 f"{self.session.status_prefix()} {text}")
 
-        def refresh(self):
-            rgb = self.session.compose_frame(
-                frames[self.session.cursur].astype("float32") / 255.0)
+        def _to_pixmap(self, rgb):
+            rgb = rgb.copy()  # QImage needs contiguous, owned memory
             h, w, _ = rgb.shape
             img = QImage(rgb.data, w, h, 3 * w, QImage.Format_RGB888)
-            self.main_canvas.setPixmap(QPixmap.fromImage(img))
+            return QPixmap.fromImage(img)
+
+        def refresh(self):
+            if self.session.in_local_mode:
+                rgb = self.session.compose_local_frame()
+            else:
+                rgb = self.session.compose_frame(
+                    frames[self.session.cursur].astype("float32") / 255.0)
+            self._last_viz = rgb
+            self.main_canvas.setPixmap(self._to_pixmap(rgb))
+            self.update_minimap()
+
+        def update_minimap(self):
+            patch = self.session.minimap_patch(
+                None if self.session.in_local_mode else self._last_viz)
+            pix = self._to_pixmap(patch)
+            self.minimap.setPixmap(pix.scaled(
+                self.minimap.size(), Qt.KeepAspectRatio,
+                Qt.FastTransformation))
 
         def canvas_pos(self, event):
             return event.x(), event.y()
@@ -231,6 +278,21 @@ def main():
                 self.refresh()
                 self.log("Undone.")
 
+        def on_zoom_plus(self):
+            self.session.zoom_in()
+            self.update_minimap()
+
+        def on_zoom_minus(self):
+            self.session.zoom_out()
+            self.update_minimap()
+
+        def on_finish_local(self):
+            if self.session.in_local_mode:
+                self.session.finish_local()
+                self.finish_local_button.setEnabled(False)
+                self.refresh()
+                self.log("Local region stitched back.")
+
         def on_save(self):
             self.session.save_masks("masks_out")
             self.session.save_overlays("overlays_out")
@@ -246,6 +308,10 @@ def main():
         # --- canvas events ---
         def on_press(self, event):
             x, y = self.canvas_pos(event)
+            if event.modifiers() & Qt.ControlModifier and \
+                    not self.session.in_local_mode:
+                self.local_anchor = (x, y)  # ctrl-drag region select
+                return
             self.pressed = True
             self.right_click = event.button() != Qt.LeftButton
             self.session.start_interaction(self.mode)
@@ -258,13 +324,31 @@ def main():
                 self.session.push_point(x, y, obj)
 
         def on_motion(self, event):
+            x, y = self.canvas_pos(event)
+            self.session.set_cursor_pos(x, y)
+            if not self.session.in_local_mode:
+                self.update_minimap()
             if not self.pressed or self.mode == "click":
                 return
-            x, y = self.canvas_pos(event)
             obj = 0 if self.right_click else self.session.current_object
             self.session.push_point(x, y, obj)
 
         def on_release(self, event):
+            if self.local_anchor is not None:
+                ax, ay = self.local_anchor
+                self.local_anchor = None
+                x, y = self.canvas_pos(event)
+                lx, ux = sorted((int(ax), int(x)))
+                ly, uy = sorted((int(ay), int(y)))
+                lx = max(0, lx); ly = max(0, ly)
+                ux = min(self.session.width - 1, ux)
+                uy = min(self.session.height - 1, uy)
+                if ux - lx > 8 and uy - ly > 8:
+                    self.session.enter_local((lx, ux, ly, uy))
+                    self.finish_local_button.setEnabled(True)
+                    self.refresh()
+                    self.log("Entered local control mode.")
+                return
             if not self.pressed:
                 return
             self.pressed = False

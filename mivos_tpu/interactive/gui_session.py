@@ -65,6 +65,14 @@ class GuiSession:
         self.local_interaction: Optional[Interaction] = None
         self.local_interactions: dict = {}
 
+        # minimap/zoom state (reference :150-160, :284, :422-443):
+        # a square patch of zoom_pixels around the last cursor position,
+        # clamped inside the frame. Zoom + shrinks the window.
+        self.zoom_pixels = 150
+        self.last_ex = 0
+        self.last_ey = 0
+        self._minimap_local_snapshot: Optional[np.ndarray] = None
+
         self.algo_timer = Timer()
         self.user_timer = Timer().start()
 
@@ -96,6 +104,66 @@ class GuiSession:
         if self.viz_mode == "fade":
             return overlay_davis(image, mask, fade=True)
         return overlay_davis(image, mask, alpha=0.9)
+
+    def compose_local_frame(self) -> np.ndarray:
+        """Overlay for the local-control crop canvas (reference draws
+        the cropped region while in local mode, :731-777)."""
+        assert self.in_local_mode
+        from mivos_tpu.ops.aggregate import aggregate_sbg
+
+        cropper = self.local_interactions["interact"][0]
+        last = self.local_interactions["interact"][-1]
+        img = np.asarray(unpad(cropper.im_crop, cropper.pad))
+        rgb = (np.clip(im_denormalize(img), 0, 1) * 255).astype(np.uint8)
+        agg = aggregate_sbg(last.out_prob, keep_bg=True)
+        lab = np.argmax(np.asarray(unpad(agg, cropper.pad))[..., 0],
+                        axis=0).astype(np.uint8)
+        if self.viz_mode == "davis":
+            return overlay_davis(rgb, lab)
+        if self.viz_mode == "fade":
+            return overlay_davis(rgb, lab, fade=True)
+        return overlay_davis(rgb, lab, alpha=0.9)
+
+    # ----- minimap / zoom (reference :422-443, :644-652) -----
+
+    def set_cursor_pos(self, ex: float, ey: float) -> None:
+        """Track the last pointer position (reference on_motion keeps
+        last_ex/last_ey); the minimap window follows it."""
+        self.last_ex, self.last_ey = float(ex), float(ey)
+
+    def zoom_in(self) -> int:
+        """Zoom + : smaller window (reference on_zoom_plus :644-647)."""
+        self.zoom_pixels = max(50, self.zoom_pixels - 25)
+        return self.zoom_pixels
+
+    def zoom_out(self) -> int:
+        """Zoom - : larger window (reference on_zoom_minus :649-652)."""
+        self.zoom_pixels = min(300, self.zoom_pixels + 25)
+        return self.zoom_pixels
+
+    def zoom_rect(self) -> Tuple[int, int, int, int]:
+        """(y0, y1, x0, x1) of the minimap window: a zoom_pixels square
+        centered on the cursor, clamped fully inside the frame
+        (reference update_minimap :430-434; when the frame is smaller
+        than the window the rect covers the whole frame — the reference
+        gets this implicitly from numpy slice clamping)."""
+        r = self.zoom_pixels // 2
+        ex = int(round(max(r, min(self.width - r, self.last_ex))))
+        ey = int(round(max(r, min(self.height - r, self.last_ey))))
+        return (max(0, ey - r), min(self.height, ey + r),
+                max(0, ex - r), min(self.width, ex + r))
+
+    def minimap_patch(self, viz: Optional[np.ndarray] = None) -> np.ndarray:
+        """The minimap image: the zoom window of the composed frame —
+        or, in local-control mode, the frozen pre-local snapshot so the
+        user keeps the global context (reference :424-436)."""
+        if self.in_local_mode and self._minimap_local_snapshot is not None:
+            return self._minimap_local_snapshot
+        if viz is None:
+            viz = self.compose_frame()
+        y0, y1, x0, x1 = self.zoom_rect()
+        y1, x1 = min(y1, self.height), min(x1, self.width)
+        return viz[y0:y1, x0:x1]
 
     # ----- navigation -----
 
@@ -237,6 +305,9 @@ class GuiSession:
         lx, ux, ly, uy = bounding_box
         assert 0 <= lx < ux < self.width and 0 <= ly < uy < self.height
         self.complete_interaction()
+        # Freeze the minimap at the pre-local view (reference
+        # minimap_in_local, :424-428).
+        self._minimap_local_snapshot = self.compose_frame()
         self.in_local_mode = True
         self.local_bb = bounding_box
         prev = (self.this_frame_interactions[-1].out_prob
@@ -250,6 +321,7 @@ class GuiSession:
         assert self.in_local_mode
         self.complete_interaction()
         self.in_local_mode = False
+        self._minimap_local_snapshot = None
         prev = (self.this_frame_interactions[-1].out_prob
                 if self.this_frame_interactions else self.current_prob_fg())
         cropper = self.local_interactions["interact"][0]

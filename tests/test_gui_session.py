@@ -183,3 +183,64 @@ class TestClickInteractionInSession:
         m1 = session.current_mask()
         assert not np.array_equal(m1, m2) or (m1 == m2).all()
         assert it.can_undo() is not None
+
+
+class TestMinimapZoom:
+    """Minimap/zoom pane logic (reference interactive_gui.py
+    :150-160, :284, :422-443, :644-652)."""
+
+    def test_zoom_limits_and_steps(self, session):
+        session.zoom_pixels = 150
+        assert session.zoom_in() == 125           # Zoom + shrinks window
+        for _ in range(10):
+            session.zoom_in()
+        assert session.zoom_pixels == 50          # floor
+        for _ in range(20):
+            session.zoom_out()
+        assert session.zoom_pixels == 300         # ceiling
+
+    def test_zoom_rect_clamped_inside_frame(self, session):
+        session.zoom_pixels = 40       # fits the 48 x 64 test frames
+        # cursor outside the frame: rect must clamp fully inside
+        session.set_cursor_pos(-10, -10)
+        y0, y1, x0, x1 = session.zoom_rect()
+        assert (y0, x0) == (0, 0) and (y1 - y0, x1 - x0) == (40, 40)
+        session.set_cursor_pos(10 ** 4, 10 ** 4)
+        y0, y1, x0, x1 = session.zoom_rect()
+        assert y1 == session.height and x1 == session.width
+        assert (y1 - y0, x1 - x0) == (40, 40)
+        # interior cursor: centered window
+        session.set_cursor_pos(32, 24)
+        y0, y1, x0, x1 = session.zoom_rect()
+        assert (y0, y1, x0, x1) == (4, 44, 12, 52)
+
+    def test_minimap_patch_is_zoom_window_of_viz(self, session):
+        session.zoom_pixels = 40
+        session.set_cursor_pos(40, 20)
+        viz = session.compose_frame()
+        patch = session.minimap_patch(viz)
+        y0, y1, x0, x1 = session.zoom_rect()
+        np.testing.assert_array_equal(patch, viz[y0:y1, x0:x1])
+        # window larger than the frame: patch covers the whole frame
+        session.zoom_pixels = 300
+        patch = session.minimap_patch(viz)
+        assert patch.shape[0] == session.height
+        assert patch.shape[1] == session.width
+
+    def test_minimap_frozen_in_local_mode(self, session):
+        session.goto(0)
+        session.zoom_pixels = 40
+        snapshot_before = session.compose_frame()
+        session.enter_local((10, 40, 10, 40))
+        try:
+            frozen = session.minimap_patch()
+            np.testing.assert_array_equal(frozen, snapshot_before)
+            # local canvas composes the crop at crop resolution
+            local = session.compose_local_frame()
+            assert local.shape == (31, 31, 3)
+        finally:
+            session.finish_local()
+        assert session._minimap_local_snapshot is None
+        # back to the live zoom window
+        live = session.minimap_patch()
+        assert live.shape[0] == 40 and live.shape[1] == 40
