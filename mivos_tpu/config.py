@@ -28,6 +28,12 @@ class MemoryConfig:
     # exceed query_cache_bytes.
     cache_queries: bool = True
     query_cache_bytes: int = 3 << 30
+    # Emit query features into the cache from the FIRST pass (closes the
+    # round-2 re-encode gap: after round 1 every frame is cached, so all
+    # later passes run in 'cached' mode). Costs only the cache writes on
+    # single-round sessions; set False for the legacy lazy policy
+    # (emit from the second pass).
+    qcache_eager: bool = True
 
     @property
     def query_buf_size(self) -> int:

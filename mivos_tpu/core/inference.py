@@ -263,8 +263,8 @@ class InferenceCore:
 
         # Device query-feature cache for multi-round sessions (config
         # cache_queries): (q8, q4, qk16, qv16) arrays of shape
-        # (T, 1, h/s, w/s, C) in the compute dtype, populated lazily
-        # from the second pass onward.
+        # (T, 1, h/s, w/s, C) in the compute dtype, populated from the
+        # first pass (qcache_eager) or lazily from the second.
         h8, w8 = self.nh // 8, self.nw // 8
         h16, w16 = self.nh // 16, self.nw // 16
         qd = 2 if prop_net.dtype == "bfloat16" else 4
@@ -475,13 +475,16 @@ class InferenceCore:
         dummy = jnp.zeros((1,))
 
         # Query-cache mode: reuse cached features when every frame of
-        # the pass has them; populate from the SECOND pass onward (the
-        # first pass stays write-free so single-round sessions pay no
-        # extra HBM traffic).
+        # the pass has them. With qcache_eager (default) features are
+        # emitted from the FIRST pass, so round 1 covers the whole video
+        # and every later pass runs fully cached — no re-encodes. The
+        # legacy lazy policy (qcache_eager=False) keeps the first pass
+        # write-free at the cost of round-2 re-encodes.
         if self._qcache_enabled and all(self._qcached[ti] for ti in frames):
             qmode = "cached"
             q_all = self._qcache_slices(frames, forward, idx, n, n_pad)
-        elif self._qcache_enabled and self._pass_count >= 1:
+        elif self._qcache_enabled and (self.mem.qcache_eager
+                                       or self._pass_count >= 1):
             qmode = "emit"
             q_all = None
         else:

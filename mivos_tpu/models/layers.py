@@ -29,6 +29,49 @@ def compute_dtype(name: Optional[str]):
     return jnp.dtype(name)
 
 
+class SyncBatchNorm(nn.Module):
+    """Trainable BatchNorm with cross-device stat sync — the nn-module
+    consumer of ops/syncbn.py (which replaces the reference's ~420-line
+    C++/CUDA SyncBN extension, fbrs/model/syncbn/). MiVOS itself never
+    trains BN (fusion training keeps BN in eval, fusion_model.py:199-200)
+    so no shipped model uses this; it completes the training surface for
+    users fine-tuning the fbrs click models, whose upstream training
+    used SyncBN.
+
+    train=True: normalize with batch stats pmean'd over `axis_name` (when
+    inside shard_map/pmap) and update the running averages in the
+    'batch_stats' collection. train=False: use the running averages.
+    """
+
+    features: int
+    axis_name: Optional[str] = None
+    momentum: float = 0.9
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        from mivos_tpu.ops.syncbn import sync_batch_norm
+
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.features,)))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.features,)))
+        if train:
+            y, (mean, var) = sync_batch_norm(x, scale, bias,
+                                             self.axis_name, self.eps)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+            return y
+        inv = (scale * jax.lax.rsqrt(ra_var.value + self.eps)).astype(x.dtype)
+        add = (bias - ra_mean.value * scale
+               * jax.lax.rsqrt(ra_var.value + self.eps)).astype(x.dtype)
+        return x * inv + add
+
+
 class FrozenBatchNorm(nn.Module):
     """BatchNorm with frozen statistics; a per-channel affine transform."""
 

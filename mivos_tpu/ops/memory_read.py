@@ -80,6 +80,9 @@ def topk_softmax(
         aff = jnp.where(valid[None, None, :], aff, NEG_INF)
     if top_k is None:
         return jax.nn.softmax(aff, axis=-1)
+    # Tiny banks (fewer positions than top_k) degrade to a full softmax
+    # rather than erroring — e.g. shape-probe inits at small resolutions.
+    top_k = min(top_k, aff.shape[-1])
     if exact:
         tv = jax.lax.top_k(aff, top_k)[0]  # (K, N, top_k) sorted desc
     else:

@@ -1,0 +1,78 @@
+"""Long-video multi-round measurement on the real TPU (VERDICT r1 #8).
+
+300-frame synthetic 480p video, three interaction rounds, comparing the
+query-cache policies:
+
+  eager  (default): features emitted from the FIRST pass -> rounds 2+
+          run fully 'cached' (no re-encode)
+  lazy   (legacy):  emit from the second pass -> round 2 re-encodes
+  off    :          every pass re-encodes queries
+
+Reports per-round wall times (one JSON line). Timing through the tunnel:
+each round ends in the host label fetch inside interact(), which forces
+completion, and the masks differ per round so nothing is memoized.
+
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/long_video_bench.py
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mivos_tpu.config import MemoryConfig
+from mivos_tpu.core.inference import InferenceCore
+from mivos_tpu.models.propagation import PropagationNetwork
+
+T, H, W, K = 300, 480, 854, 2
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    prop = PropagationNetwork(top_k=50, dtype="bfloat16",
+                              read_backend="pallas")
+    f0 = jnp.zeros((128, 160, 3))
+    params = prop.init(jax.random.PRNGKey(0), f0,
+                       jnp.zeros((K, 128, 160, 1)), f0)
+
+    rng = np.random.RandomState(0)
+    # uint8 upload (1 byte/channel through the ~30 MB/s tunnel)
+    images = (rng.rand(T, H, W, 3) * 255).astype(np.uint8)
+
+    def mk_mask(seed):
+        r = np.random.RandomState(seed)
+        labels = r.randint(0, K + 1, (H, W))
+        return np.stack([(labels == i) for i in range(K + 1)]
+                        ).astype(np.float32)[..., None]
+
+    masks = [mk_mask(s) for s in (10, 11, 12)]
+    idxs = [0, T - 1, T // 2]
+
+    configs = {
+        "eager": dict(qcache_eager=True),
+        "lazy": dict(qcache_eager=False),
+        "off": dict(cache_queries=False),
+    }
+    report = {}
+    for name, kw in configs.items():
+        mem = MemoryConfig(top_k=50, mem_freq=5,
+                           query_cache_bytes=8 << 30, **kw)
+        core = InferenceCore(prop, params, None, None, images, K, mem=mem)
+        times = []
+        for m, i in zip(masks, idxs):
+            t0 = time.time()
+            core.interact(m, idx=i)
+            times.append(round(time.time() - t0, 2))
+        report[name] = times
+        print(f"{name}: rounds {times}", flush=True)
+        del core
+
+    fps = {name: round((3 * (T - 1)) / sum(ts), 1)
+           for name, ts in report.items()}
+    print(json.dumps({"rounds_s": report, "session_fps": fps,
+                      "frames": T, "hw": [H, W], "objects": K}))
+
+
+if __name__ == "__main__":
+    main()

@@ -263,3 +263,32 @@ def test_memory_config_is_read_source_of_truth(setup):
     out_a = core_default.interact(mask, idx=3).copy()
     out_b = core_k1.interact(mask, idx=3).copy()
     assert (out_a != out_b).any()        # the knob actually changed the read
+
+
+def test_qcache_eager_covers_video_after_round_one(setup):
+    """qcache_eager emits from the FIRST pass: after one interaction
+    every queryable frame is cached (the interacted frame itself is
+    never a query), so every later pass runs fully 'cached' — the
+    round-2 re-encode gap is closed — with results identical to the
+    lazy policy and to no cache at all."""
+    rng = np.random.RandomState(29)
+    masks = [make_interaction_mask(rng) for _ in range(3)]
+    idxs = [0, T - 1, T // 2]
+
+    outs, cores = [], []
+    for kw in ({"qcache_eager": True}, {"qcache_eager": False},
+               {"cache_queries": False}):
+        core = fresh_core(setup, **kw)
+        round_outs = []
+        for r, (m, i) in enumerate(zip(masks, idxs)):
+            round_outs.append(core.interact(m, idx=i).copy())
+            if kw.get("qcache_eager") and r == 0:
+                # eager: round 1 alone covers all non-interacted frames
+                assert core._qcached[1:].all()
+        outs.append(round_outs)
+        cores.append(core)
+    for a, b, c in zip(*outs):
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(a, c)
+    # lazy: round 1's first (compute-mode) pass stays uncached
+    assert not cores[1]._qcached.all()

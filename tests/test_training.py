@@ -207,3 +207,41 @@ def test_debug_outputs_for_montage(rng):
     grid = pool_fusion(dict(batch, mask=out["mask"], attn1=out["attn1"],
                             attn2=out["attn2"]), size=(48, 48))
     assert grid.dtype == np.uint8 and grid.ndim == 3
+
+
+def test_syncbn_module_sharded_matches_full_batch(rng):
+    """The SyncBatchNorm nn-module (the op's first-class consumer):
+    training mode under shard_map over 8 shards == full-batch BN,
+    running stats updated; eval mode uses the running averages."""
+    from jax.experimental.shard_map import shard_map
+
+    from mivos_tpu.models.layers import SyncBatchNorm
+
+    mesh = make_mesh(8)
+    x = rng.randn(16, 4, 4, 6).astype(np.float32)
+    bn = SyncBatchNorm(6, axis_name="data", momentum=0.5)
+    variables = bn.init(jax.random.PRNGKey(0), jnp.asarray(x[:2]))
+
+    def local(v, xs):
+        y, upd = bn.apply(v, xs, train=True,
+                          mutable=["batch_stats"])
+        return y, upd["batch_stats"]
+
+    f = shard_map(local, mesh=mesh, in_specs=(P(), P("data")),
+                  out_specs=(P("data"), P()))
+    got, stats = f(variables, jnp.asarray(x))
+
+    mean = x.mean((0, 1, 2))
+    var = x.var((0, 1, 2))
+    ref = (x - mean) / np.sqrt(var + 1e-5)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(stats["mean"]),
+                               0.5 * mean, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(stats["var"]),
+                               0.5 + 0.5 * var, atol=1e-4)
+
+    # eval mode consumes the running averages
+    v2 = {"params": variables["params"], "batch_stats": stats}
+    y_eval = bn.apply(v2, jnp.asarray(x), train=False)
+    ref_eval = (x - 0.5 * mean) / np.sqrt(0.5 + 0.5 * var + 1e-5)
+    np.testing.assert_allclose(np.asarray(y_eval), ref_eval, atol=1e-4)
