@@ -35,7 +35,7 @@ def make_session_inputs(seed: int = 3):
     everything to uniform — untrained weights are diffuse enough
     already)."""
     rng = np.random.RandomState(seed)
-    base = rng.rand(H // 8, W // 8, 3).astype(np.float32)
+    base = rng.rand(-(-H // 8), -(-W // 8), 3).astype(np.float32)
     up = np.kron(base, np.ones((8, 8, 1), np.float32))[:H, :W]
     images = np.stack([np.roll(up, 2 * t, axis=1) for t in range(T)])
     images += 0.05 * rng.rand(T, H, W, 3).astype(np.float32)
@@ -63,6 +63,8 @@ def run_session(prop, fuse, prop_params, fuse_params, images, m1, m2):
     out = core.interact(m2, idx=T - 1).copy()
     probs = np.stack([np.asarray(core.get_prob(ti), np.float32)
                       for ti in range(T)])
+    lw, uw, lh, uh = core.pad  # crop padded probs to the raw grid
+    probs = probs[:, :, lh:core.nh - uh, lw:core.nw - uw]
     return out, probs, time.time() - t0
 
 
@@ -95,6 +97,10 @@ def main():
     out_e, prob_e, t_e = run_session(prop_exact, fuse_exact, prop_params,
                                      fuse_params, images, m1, m2)
     print(f"exact session: {t_e:.1f}s", flush=True)
+    # Raw dump first: a stats bug must never cost a 15-min TPU rerun.
+    np.savez_compressed("/tmp/envelope_arrays.npz", out_f=out_f,
+                        out_e=out_e, prob_f=prob_f, prob_e=prob_e,
+                        fast_s=t_f, exact_s=t_e)
 
     diff = np.abs(prob_f - prob_e)
     # Decision margin of the exact path: top-1 minus top-2 probability.
