@@ -86,6 +86,46 @@ def run_davis_interactive(prop_net, prop_params, fuse_net, fuse_params,
     return summary
 
 
+def run_local_interactive(prop_net, prop_params, fuse_net, fuse_params,
+                          s2m_net, s2m_params, sequences: Dict,
+                          max_nb_interactions: int = 8,
+                          max_time_per_interaction: int = 30,
+                          mem: MemoryConfig = MemoryConfig()) -> Dict:
+    """Hermetic variant of run_davis_interactive: the in-repo robot and
+    session (eval/robot.py) replace the external `davisinteractive`
+    package, so the full scribble->S2M->propagate->fuse protocol runs
+    on in-memory sequences with zero extra dependencies.
+
+    sequences: name -> (images (T,H,W,3) float, gt (T,H,W) int labels,
+    num_objects). Returns the global summary (auc, metric_at_60s,
+    curve) from eval/davis_metrics.summarize_session."""
+    from mivos_tpu.eval.robot import LocalInteractiveSession
+    from mivos_tpu.interactive.scribbles import is_empty
+
+    sess = LocalInteractiveSession(
+        {n: (gt, k) for n, (_im, gt, k) in sequences.items()},
+        max_nb_interactions=max_nb_interactions,
+        max_time=max_nb_interactions * max_time_per_interaction)
+    processor: Optional[DAVISProcessor] = None
+    with sess:
+        while sess.next():
+            name, scribbles, new_seq = sess.get_scribbles(only_last=True)
+            if new_seq:
+                im, _gt, k = sequences[name]
+                del processor
+                processor = DAVISProcessor(
+                    prop_net, prop_params, fuse_net, fuse_params,
+                    s2m_net, s2m_params, im, k, mem=mem)
+            if is_empty(scribbles):
+                # Perfect prediction: the robot found nothing to
+                # correct; the round passes with the mask unchanged.
+                sess.submit_masks(sess._pred)
+                continue
+            pred_masks, next_frames, _ = processor.interact(scribbles)
+            sess.submit_masks(pred_masks, next_frames)
+    return sess.get_global_summary()
+
+
 def _save_masks(out_path: str, user_iter: int, seq: str,
                 pred_masks: np.ndarray) -> None:
     seq_path = path.join(out_path, str(user_iter), seq)

@@ -28,6 +28,40 @@ from mivos_tpu.models.propagation import PropagationNetwork
 T, H, W, K = 300, 480, 854, 2
 
 
+def mk_mask(seed):
+    r = np.random.RandomState(seed)
+    labels = r.randint(0, K + 1, (H, W))
+    return np.stack([(labels == i) for i in range(K + 1)]
+                    ).astype(np.float32)[..., None]
+
+
+CONFIGS = {
+    "eager": dict(qcache_eager=True),
+    "lazy": dict(qcache_eager=False),
+    "off": dict(cache_queries=False),
+}
+
+
+def run_config(prop, params, name, kw, t, seed_base):
+    """One 3-round session. Inputs are SEEDED PER CONFIG: the runtime
+    memoizes bitwise-identical executions, so reusing the same video or
+    masks across configs would fake the later configs' timings."""
+    rng = np.random.RandomState(seed_base)
+    images = (rng.rand(t, H, W, 3) * 255).astype(np.uint8)
+    masks = [mk_mask(seed_base + s) for s in (1, 2, 3)]
+    idxs = [0, t - 1, t // 2]
+    mem = MemoryConfig(top_k=50, mem_freq=5,
+                       query_cache_bytes=8 << 30, **kw)
+    core = InferenceCore(prop, params, None, None, images, K, mem=mem)
+    times = []
+    for m, i in zip(masks, idxs):
+        t0 = time.time()
+        core.interact(m, idx=i)
+        times.append(round(time.time() - t0, 2))
+    del core
+    return times
+
+
 def main():
     print("devices:", jax.devices(), flush=True)
     prop = PropagationNetwork(top_k=50, dtype="bfloat16",
@@ -36,37 +70,19 @@ def main():
     params = prop.init(jax.random.PRNGKey(0), f0,
                        jnp.zeros((K, 128, 160, 1)), f0)
 
-    rng = np.random.RandomState(0)
-    # uint8 upload (1 byte/channel through the ~30 MB/s tunnel)
-    images = (rng.rand(T, H, W, 3) * 255).astype(np.uint8)
+    # Warmup: short sessions per config compile every (qmode, fuse,
+    # chunk) scan executable the measured sessions will hit, so no
+    # config pays compile time inside its measurement.
+    for i, (name, kw) in enumerate(CONFIGS.items()):
+        t0 = time.time()
+        run_config(prop, params, name, kw, t=33, seed_base=1000 + 50 * i)
+        print(f"warmup {name}: {time.time()-t0:.1f}s", flush=True)
 
-    def mk_mask(seed):
-        r = np.random.RandomState(seed)
-        labels = r.randint(0, K + 1, (H, W))
-        return np.stack([(labels == i) for i in range(K + 1)]
-                        ).astype(np.float32)[..., None]
-
-    masks = [mk_mask(s) for s in (10, 11, 12)]
-    idxs = [0, T - 1, T // 2]
-
-    configs = {
-        "eager": dict(qcache_eager=True),
-        "lazy": dict(qcache_eager=False),
-        "off": dict(cache_queries=False),
-    }
     report = {}
-    for name, kw in configs.items():
-        mem = MemoryConfig(top_k=50, mem_freq=5,
-                           query_cache_bytes=8 << 30, **kw)
-        core = InferenceCore(prop, params, None, None, images, K, mem=mem)
-        times = []
-        for m, i in zip(masks, idxs):
-            t0 = time.time()
-            core.interact(m, idx=i)
-            times.append(round(time.time() - t0, 2))
-        report[name] = times
-        print(f"{name}: rounds {times}", flush=True)
-        del core
+    for i, (name, kw) in enumerate(CONFIGS.items()):
+        report[name] = run_config(prop, params, name, kw, t=T,
+                                  seed_base=2000 + 50 * i)
+        print(f"{name}: rounds {report[name]}", flush=True)
 
     fps = {name: round((3 * (T - 1)) / sum(ts), 1)
            for name, ts in report.items()}
