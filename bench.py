@@ -51,25 +51,37 @@ def main():
     # video upload (reference eval_interactive_davis.py:49-56,83).
     images = jax.device_put(rng.rand(T, RH, RW, 3).astype(np.float32))
     images.block_until_ready()
-    labels = jnp.asarray(rng.randint(0, K + 1, (RH, RW)))
-    fg = one_hot_mask(labels, K)
-    bg = 1 - fg.sum(0, keepdims=True)
-    mask = np.asarray(jnp.concatenate([bg, fg], 0))
+    # The interaction masks stay device-resident: in the real pipeline
+    # they are produced ON device by S2M/f-BRS (reference
+    # davis_processor.py:66-69 hands interact() a GPU tensor), so the
+    # 6.6 MB host->device upload is not part of the propagation round.
+    # One DISTINCT mask per measured session: the runtime memoizes
+    # bitwise-identical executions, so repeating one mask would let
+    # later sessions skip the actual compute.
+    def mk_mask(seed):
+        labels = jnp.asarray(
+            np.random.RandomState(seed).randint(0, K + 1, (RH, RW)))
+        fg = one_hot_mask(labels, K)
+        bg = 1 - fg.sum(0, keepdims=True)
+        return jnp.concatenate([bg, fg], 0)
+
+    masks = [mk_mask(s) for s in range(8)]
+    jax.block_until_ready(masks)
 
     mem = MemoryConfig(top_k=50, mem_freq=5)
 
     # Warm the compile caches with a throwaway session.
     warm = InferenceCore(prop, pp, fuse, fp, images, K, mem=mem)
-    warm.interact(mask, 0)
+    warm.interact(masks[7], 0)
     del warm
 
     # Measured: fresh session, one full interaction (forward pass over
     # T-1 frames with per-frame query encode + memory read + memorize).
     best = 0.0
-    for _ in range(7):
+    for s in range(7):
         core = InferenceCore(prop, pp, fuse, fp, images, K, mem=mem)
         t0 = time.time()
-        core.interact(mask, 0)
+        core.interact(masks[s], 0)
         dt = time.time() - t0
         best = max(best, (T - 1) / dt)
 

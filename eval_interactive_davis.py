@@ -24,6 +24,12 @@ def main():
     p.add_argument("--read_backend", default="auto",
                    help="memory-read backend: auto|pallas|xla_approx|"
                         "xla_exact (see ops/memory_read.py)")
+    p.add_argument("--local_robot", action="store_true",
+                   help="use the in-repo scribble robot/session "
+                        "(eval/robot.py) instead of the davisinteractive "
+                        "package; auto-selected when the package is "
+                        "missing. Scores are internally consistent but "
+                        "not comparable to official AUC-J&F.")
     args = p.parse_args()
 
     import jax
@@ -31,7 +37,8 @@ def main():
     from mivos_tpu.checkpoint import (convert_fusion_net, convert_prop_net,
                                       convert_s2m, load_torch_state_dict)
     from mivos_tpu.config import MemoryConfig
-    from mivos_tpu.eval.davis_interactive import run_davis_interactive
+    from mivos_tpu.eval.davis_interactive import (
+        run_davis_interactive, run_local_interactive_davis)
     from mivos_tpu.models.fusion import FusionNet
     from mivos_tpu.models.propagation import PropagationNetwork
     from mivos_tpu.models.s2m import S2MNetwork as S2M
@@ -47,11 +54,25 @@ def main():
     s2m_net = S2M(dtype=dtype)
     s2m_params = convert_s2m(load_torch_state_dict(args.s2m_model))
 
-    summary = run_davis_interactive(
-        prop_net, prop_params, fuse_net, fuse_params, s2m_net, s2m_params,
-        davis_root=args.davis, out_path=args.output,
-        save_mask=args.save_mask,
-        mem=MemoryConfig(top_k=args.top_k, mem_freq=args.mem_freq))
+    use_local = args.local_robot
+    if not use_local:
+        try:
+            import davisinteractive  # noqa: F401
+        except ImportError:
+            print("davisinteractive not installed; falling back to the "
+                  "in-repo robot (--local_robot).")
+            use_local = True
+
+    mem = MemoryConfig(top_k=args.top_k, mem_freq=args.mem_freq)
+    if use_local:
+        summary = run_local_interactive_davis(
+            prop_net, prop_params, fuse_net, fuse_params, s2m_net,
+            s2m_params, davis_root=args.davis, mem=mem)
+    else:
+        summary = run_davis_interactive(
+            prop_net, prop_params, fuse_net, fuse_params, s2m_net,
+            s2m_params, davis_root=args.davis, out_path=args.output,
+            save_mask=args.save_mask, mem=mem)
     print(summary)
 
 

@@ -35,16 +35,59 @@ from mivos_tpu.models.fusion import FusionNet
 from mivos_tpu.models.propagation import PropagationNetwork
 from mivos_tpu.ops.aggregate import aggregate_wbg
 from mivos_tpu.utils.tensor import (cast_params_bf16, dev_f32_pair, dev_i32,
-                                    next_bucket, pad_divide_by)
+                                    dev_i32_seq, next_bucket, pad_divide_by)
 
 Query = Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _qcache_write(cache: jax.Array, chunk: jax.Array,
-                  start: jax.Array) -> jax.Array:
-    """In-place (donated) write of a contiguous frame range."""
-    return jax.lax.dynamic_update_slice(cache, chunk, (start, 0, 0, 0, 0))
+@functools.partial(jax.jit, static_argnames=("valid", "flip"),
+                   donate_argnums=(0, 1, 2, 3))
+def _qcache_write4(c0, c1, c2, c3, q0, q1, q2, q3, start,
+                   valid: int, flip: bool):
+    """In-place (donated) write of one emitted chunk's four query-feature
+    stacks — ONE dispatch instead of 4 writes (+4 flips on backward
+    passes); dispatch latency through the tunnel is a first-order cost
+    of emit-mode passes. valid/flip are static (tiny closed set: chunk
+    sizes x 2 directions)."""
+    def upd(cache, q):
+        q = q[:valid]
+        if flip:
+            q = jnp.flip(q, axis=0)
+        return jax.lax.dynamic_update_slice(cache, q, (start, 0, 0, 0, 0))
+
+    return upd(c0, q0), upd(c1, q1), upd(c2, q2), upd(c3, q3)
+
+
+def _label_bits(num_classes: int) -> int:
+    """Bit-width for packed label downloads: the host link runs at tens
+    of MB/s, so labels ship at the information rate of the class count —
+    1 bit for K=1, 2 bits for K<=3, 4 bits for K<=15 (0 = unpackable).
+    Padded widths are /16 so every 8//bits pixels-per-byte split fits."""
+    if num_classes <= 2:
+        return 1
+    if num_classes <= 4:
+        return 2
+    if num_classes <= 16:
+        return 4
+    return 0
+
+
+def _pack_labels(lab: jax.Array, bits: int) -> jax.Array:
+    """Pack uint8 labels along the last axis, 8 // bits pixels/byte."""
+    per = 8 // bits
+    out = lab[..., 0::per] << (8 - bits)
+    for i in range(1, per):
+        out = out | (lab[..., i::per] << (8 - bits * (i + 1)))
+    return out
+
+
+def _unpack_labels(packed: np.ndarray, bits: int) -> np.ndarray:
+    per = 8 // bits
+    m = (1 << bits) - 1
+    out = np.empty(packed.shape[:-1] + (packed.shape[-1] * per,), np.uint8)
+    for i in range(per):
+        out[..., i::per] = (packed >> (8 - bits * (i + 1))) & m
+    return out
 
 
 @jax.jit
@@ -107,13 +150,14 @@ def build_step_fns(prop_net: PropagationNetwork, fuse_net: Optional[FusionNet]):
     argmax_batch_fn = jax.jit(lambda probs: jnp.argmax(probs[..., 0], axis=1)
                               .astype(jnp.uint8))
 
-    # 4-bit label packing (two pixels per byte) halves the host
-    # download; remote-attached TPU links run at tens of MB/s, so the
-    # label fetch is a first-order cost of every interaction round.
+    # Adaptive-width label packing (1/2/4 bits by class count — the
+    # label fetch is a first-order cost of every interaction round, see
+    # _label_bits). Class count is static under jit, so the width bakes
+    # into the executable.
     @jax.jit
     def argmax_pack_fn(probs):
         lab = jnp.argmax(probs[..., 0], axis=1).astype(jnp.uint8)
-        return (lab[..., 0::2] << 4) | lab[..., 1::2]
+        return _pack_labels(lab, _label_bits(probs.shape[1]))
 
     return (query_fn, memorize_fn, propagate_step, fuse_step, argmax_fn,
             argmax_batch_fn, argmax_pack_fn)
@@ -187,10 +231,12 @@ def build_scan_pass(prop_net: PropagationNetwork,
                                  pos_diff, neg_diff, do_fuse, qmode)
         (bank_k, bank_v), (probs, queries) = jax.lax.scan(
             body, (bank_k, bank_v), xs)
-        # 4-bit-packed label maps ship back to the host per chunk so the
-        # download overlaps the next chunk's compute.
+        # Packed label maps (1/2/4-bit adaptive, see _label_bits) ship
+        # back to the host per chunk so the download overlaps the next
+        # chunk's compute.
         lab = jnp.argmax(probs[..., 0], axis=1).astype(jnp.uint8)
-        packed = (lab[..., 0::2] << 4) | lab[..., 1::2]
+        bits = _label_bits(probs.shape[1])
+        packed = _pack_labels(lab, bits) if bits else lab
         return bank_k, bank_v, probs, packed, queries
 
     return scan_pass
@@ -253,6 +299,8 @@ class InferenceCore:
         # (background). Host numpy when offloaded, device arrays otherwise.
         self.prob: List[Optional[object]] = [None] * self.t
         self.np_masks = np.zeros((self.t, self.h, self.w), np.uint8)
+        # Download width for packed label maps (0 = K too large to pack).
+        self._pack_bits = _label_bits(self.k + 1)
 
         self.query_buf: Dict[int, Query] = {}
         self.image_buf: Dict[int, jax.Array] = {}
@@ -447,32 +495,43 @@ class InferenceCore:
         rows += [rows[-1]] * (n_pad - n)
         wrows += [scratch_row] * (n_pad - n)
 
-        if forward:
-            sl = self.images[idx + 1:idx + 1 + n]
-        else:
-            sl = jnp.flip(self.images[idx - n:idx], axis=0)
-        if n_pad > n:
-            pad = jnp.broadcast_to(sl[-1:], (n_pad - n,) + sl.shape[1:])
-            sl = jnp.concatenate([sl, pad], axis=0)
-
         if do_fuse:
-            prev_all = jnp.stack([self.get_prob(ti) for ti in frames])
-            if n_pad > n:
-                padp = jnp.zeros((n_pad - n,) + prev_all.shape[1:],
-                                 prev_all.dtype)
-                prev_all = jnp.concatenate([prev_all, padp], axis=0)
             denom = abs(closest_ti - idx)
             dist_np = np.zeros((n_pad, self.k, 2), np.float32)
             for j, ti in enumerate(frames):
                 dist_np[j, :, 0] = abs(closest_ti - ti) / denom
                 dist_np[j, :, 1] = abs(idx - ti) / denom
-            dist_all = jnp.asarray(dist_np)
             pos_diff, neg_diff = self.pos_diff, self.neg_diff
         else:
-            prev_all = dist_all = None
+            dist_np = None
             key_k = jnp.zeros((1,))
             pos_diff = neg_diff = jnp.zeros((1,))
         dummy = jnp.zeros((1,))
+
+        # Per-chunk input slicing: whole-pass stacks (images, prev probs,
+        # cached features) would materialize O(pass) temporary copies —
+        # a flipped 300-frame backward pass costs multiple GB and OOMs
+        # long videos. Slicing per chunk bounds the peak at chunk size.
+        def chunk_slice(arr, c0: int, c1: int) -> jax.Array:
+            tis = frames[c0:min(c1, n)]
+            a, b = (tis[0], tis[-1] + 1) if forward else (tis[-1], tis[0] + 1)
+            sl = arr[a:b]
+            if not forward:
+                sl = jnp.flip(sl, axis=0)
+            pad_n = (c1 - c0) - len(tis)
+            if pad_n > 0:
+                pad = jnp.broadcast_to(sl[-1:], (pad_n,) + sl.shape[1:])
+                sl = jnp.concatenate([sl, pad], axis=0)
+            return sl
+
+        def chunk_prev(c0: int, c1: int) -> jax.Array:
+            tis = frames[c0:min(c1, n)]
+            prev = jnp.stack([self.get_prob(ti) for ti in tis])
+            pad_n = (c1 - c0) - len(tis)
+            if pad_n > 0:
+                padp = jnp.zeros((pad_n,) + prev.shape[1:], prev.dtype)
+                prev = jnp.concatenate([prev, padp], axis=0)
+            return prev
 
         # Query-cache mode: reuse cached features when every frame of
         # the pass has them. With qcache_eager (default) features are
@@ -482,14 +541,11 @@ class InferenceCore:
         # write-free at the cost of round-2 re-encodes.
         if self._qcache_enabled and all(self._qcached[ti] for ti in frames):
             qmode = "cached"
-            q_all = self._qcache_slices(frames, forward, idx, n, n_pad)
         elif self._qcache_enabled and (self.mem.qcache_eager
                                        or self._pass_count >= 1):
             qmode = "emit"
-            q_all = None
         else:
             qmode = "compute"
-            q_all = None
         self._pass_count += 1
 
         bank_k, bank_v = self.bank.keys, self.bank.values
@@ -497,15 +553,16 @@ class InferenceCore:
         c0 = 0
         for size in sizes:
             c1 = c0 + size
-            queries_f = (tuple(q[c0:c1] for q in q_all)
+            queries_f = (tuple(chunk_slice(q, c0, c1)
+                               for q in self._qcache)
                          if qmode == "cached" else dummy)
             bank_k, bank_v, probs, packed, queries = self.scan_pass(
                 self.prop_params, self.fuse_params, bank_k, bank_v,
-                sl[c0:c1],
-                jnp.asarray(np.asarray(rows[c0:c1], np.int32)),
-                jnp.asarray(np.asarray(wrows[c0:c1], np.int32)),
-                prev_all[c0:c1] if do_fuse else dummy,
-                dist_all[c0:c1] if do_fuse else dummy,
+                chunk_slice(self.images, c0, c1),
+                dev_i32_seq(tuple(rows[c0:c1])),
+                dev_i32_seq(tuple(wrows[c0:c1])),
+                chunk_prev(c0, c1) if do_fuse else dummy,
+                jnp.asarray(dist_np[c0:c1]) if do_fuse else dummy,
                 key_k, pos_diff, neg_diff, queries_f, do_fuse, qmode)
             try:
                 packed.copy_to_host_async()
@@ -526,7 +583,7 @@ class InferenceCore:
                 ci += 1
             row = j - offsets[ci]
             self.set_prob(ti, chunk_probs[ci][row])
-            if self.k <= 15:  # 4-bit packing holds K+1 <= 16 labels
+            if self._pack_bits:  # packable class count (K+1 <= 16)
                 self._label_cache[ti] = (chunk_packed[ci], row)
 
     # ----- device query cache (multi-round reuse) -----
@@ -553,28 +610,10 @@ class InferenceCore:
         tis = frames[c0:c0 + valid]
         ascending = tis[0] <= tis[-1]
         start = tis[0] if ascending else tis[-1]
-        for i, q in enumerate(queries):
-            chunk = q[:valid]
-            if not ascending:
-                chunk = jnp.flip(chunk, axis=0)
-            self._qcache[i] = _qcache_write(self._qcache[i], chunk,
-                                            dev_i32(start))
+        self._qcache = list(_qcache_write4(
+            *self._qcache, *queries, dev_i32(start),
+            valid=valid, flip=not ascending))
         self._qcached[tis] = True
-
-    def _qcache_slices(self, frames: List[int], forward: bool, idx: int,
-                       n: int, n_pad: int):
-        """(q8, q4, qk16, qv16) stacks aligned with the pass order."""
-        out = []
-        for q in self._qcache:
-            if forward:
-                sl = q[idx + 1:idx + 1 + n]
-            else:
-                sl = jnp.flip(q[idx - n:idx], axis=0)
-            if n_pad > n:
-                pad = jnp.broadcast_to(sl[-1:], (n_pad - n,) + sl.shape[1:])
-                sl = jnp.concatenate([sl, pad], axis=0)
-            out.append(sl)
-        return tuple(out)
 
     def _time_coef(self, tc: int, tr: int, ti: int) -> jax.Array:
         nc = abs(tc - ti) / abs(tc - tr)
@@ -629,14 +668,6 @@ class InferenceCore:
         lw, uw, lh, uh = self.pad
         return lab[lh: self.nh - uh, lw: self.nw - uw]
 
-    @staticmethod
-    def _unpack4(packed: np.ndarray) -> np.ndarray:
-        out = np.empty(packed.shape[:-1] + (packed.shape[-1] * 2,),
-                       np.uint8)
-        out[..., 0::2] = packed >> 4
-        out[..., 1::2] = packed & 0xF
-        return out
-
     def _render_masks(self) -> np.ndarray:
         touched = [ti for ti in range(self.t) if self.prob[ti] is not None]
         if not touched:
@@ -656,14 +687,16 @@ class InferenceCore:
             key = id(arr)
             if key not in fetched:
                 fetched[key] = np.asarray(arr)  # async copy already done
-            self.np_masks[ti] = self._unpack4(fetched[key][row])[crop]
+            self.np_masks[ti] = _unpack_labels(fetched[key][row],
+                                               self._pack_bits)[crop]
         if not rest:
             return self.np_masks
 
         if self.on_device_results:
             stacked = jnp.stack([self.prob[ti] for ti in rest])
-            if self.k <= 15 and self.nw % 2 == 0:
-                labs = self._unpack4(np.asarray(self.argmax_pack_fn(stacked)))
+            if self._pack_bits and self.nw % (8 // self._pack_bits) == 0:
+                labs = _unpack_labels(np.asarray(self.argmax_pack_fn(stacked)),
+                                      self._pack_bits)
             else:
                 labs = np.asarray(self.argmax_batch_fn(stacked))
         else:

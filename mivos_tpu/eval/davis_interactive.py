@@ -96,9 +96,10 @@ def run_local_interactive(prop_net, prop_params, fuse_net, fuse_params,
     package, so the full scribble->S2M->propagate->fuse protocol runs
     on in-memory sequences with zero extra dependencies.
 
-    sequences: name -> (images (T,H,W,3) float, gt (T,H,W) int labels,
-    num_objects). Returns the global summary (auc, metric_at_60s,
-    curve) from eval/davis_metrics.summarize_session."""
+    sequences: name -> (images (T,H,W,3) float — or a zero-arg callable
+    returning them, for lazy loading of large eval sets —, gt (T,H,W)
+    int labels, num_objects). Returns the global summary (auc,
+    metric_at_60s, curve) from eval/davis_metrics.summarize_session."""
     from mivos_tpu.eval.robot import LocalInteractiveSession
     from mivos_tpu.interactive.scribbles import is_empty
 
@@ -112,6 +113,8 @@ def run_local_interactive(prop_net, prop_params, fuse_net, fuse_params,
             name, scribbles, new_seq = sess.get_scribbles(only_last=True)
             if new_seq:
                 im, _gt, k = sequences[name]
+                if callable(im):
+                    im = im()
                 del processor
                 processor = DAVISProcessor(
                     prop_net, prop_params, fuse_net, fuse_params,
@@ -124,6 +127,38 @@ def run_local_interactive(prop_net, prop_params, fuse_net, fuse_params,
             pred_masks, next_frames, _ = processor.interact(scribbles)
             sess.submit_masks(pred_masks, next_frames)
     return sess.get_global_summary()
+
+
+def run_local_interactive_davis(prop_net, prop_params, fuse_net,
+                                fuse_params, s2m_net, s2m_params,
+                                davis_root: str,
+                                max_nb_interactions: int = 8,
+                                max_time_per_interaction: int = 30,
+                                mem: MemoryConfig = MemoryConfig(),
+                                subset: str = "trainval",
+                                imset: str = "2017/val.txt") -> Dict:
+    """run_local_interactive over the on-disk DAVIS split: GT labels
+    are loaded up front (small), videos lazily per sequence. The
+    hermetic-robot counterpart of run_davis_interactive for sandboxes
+    without the davisinteractive package; scores are NOT comparable to
+    official AUC-J&F (different scribble simulator), but are stable
+    across runs of this robot."""
+    trainval = path.join(davis_root, subset)
+    dataset = DAVISTestDataset(trainval, imset=imset)
+    sequences = {}
+    for i in range(len(dataset)):
+        d = dataset[i]
+        name = d["info"]["name"]
+        oh = np.asarray(d["gt"])[..., 0]       # (K, T, H, W) one-hot
+        gt = np.zeros(oh.shape[1:], np.int32)
+        for k in range(oh.shape[0]):           # ids renumbered 1..K,
+            gt[oh[k] > 0.5] = k + 1            # matching the processor
+        loader = (lambda j=i: np.asarray(dataset[j]["rgb"]))
+        sequences[name] = (loader, gt, len(d["info"]["labels"]))
+    return run_local_interactive(
+        prop_net, prop_params, fuse_net, fuse_params, s2m_net, s2m_params,
+        sequences, max_nb_interactions=max_nb_interactions,
+        max_time_per_interaction=max_time_per_interaction, mem=mem)
 
 
 def _save_masks(out_path: str, user_iter: int, seq: str,

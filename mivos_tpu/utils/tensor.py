@@ -50,6 +50,15 @@ def dev_i32(v: int) -> jax.Array:
     return jnp.int32(v)
 
 
+@functools.lru_cache(maxsize=16384)
+def dev_i32_seq(vals: tuple) -> jax.Array:
+    """Cached small int32 vector device_put (per-chunk bank-row
+    schedules): the schedule is data-independent, so identical chunks
+    across rounds/sessions reuse one device buffer instead of paying a
+    host->device transfer each."""
+    return jnp.asarray(np.asarray(vals, np.int32))
+
+
 @functools.lru_cache(maxsize=65536)
 def dev_f32_pair(a: float, b: float) -> jax.Array:
     """Cached (2,) float32 device constant (fusion time coefficients)."""

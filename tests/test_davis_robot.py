@@ -187,3 +187,48 @@ class TestEndToEnd:
         assert 0.0 <= summary["auc"] <= 1.0
         assert len(summary["curve"]["time"]) == len(
             summary["curve"]["metric"])
+
+    def test_on_disk_davis_layout(self, tmp_path):
+        """run_local_interactive_davis: the --local_robot CLI path reads
+        the standard DAVIS directory layout and lazily loads videos."""
+        import os
+        from os import path
+        from PIL import Image
+
+        from mivos_tpu.eval.davis_interactive import (
+            run_local_interactive_davis)
+        from mivos_tpu.models.propagation import PropagationNetwork
+        from mivos_tpu.models.s2m import S2MNetwork
+        from mivos_tpu.utils.palette import save_indexed_png
+
+        t, h, w, k = 2, 48, 64, 2
+        root = str(tmp_path)
+        rng = np.random.RandomState(5)
+        for sub in ("JPEGImages/480p/vid", "Annotations/480p/vid",
+                    "ImageSets/2017"):
+            os.makedirs(path.join(root, "trainval", sub), exist_ok=True)
+        with open(path.join(root, "trainval/ImageSets/2017/val.txt"),
+                  "w") as f:
+            f.write("vid\n")
+        lab = np.zeros((h, w), np.uint8)
+        lab[8:24, 8:28] = 1
+        lab[28:44, 36:60] = 2
+        for fi in range(t):
+            Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8)).save(
+                path.join(root, "trainval/JPEGImages/480p/vid",
+                          f"{fi:05d}.jpg"))
+            save_indexed_png(
+                path.join(root, "trainval/Annotations/480p/vid",
+                          f"{fi:05d}.png"), lab)
+
+        prop = PropagationNetwork(top_k=10)
+        f0 = jnp.zeros((h, w, 3))
+        pp = prop.init(jax.random.PRNGKey(0), f0,
+                       jnp.zeros((k, h, w, 1)), f0)
+        s2m = S2MNetwork()
+        sp = s2m.init(jax.random.PRNGKey(2), jnp.zeros((k, h, w, 6)))
+
+        summary = run_local_interactive_davis(
+            prop, pp, None, None, s2m, sp, davis_root=root,
+            max_nb_interactions=3, max_time_per_interaction=1000)
+        assert 0.0 <= summary["auc"] <= 1.0

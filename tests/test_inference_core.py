@@ -292,3 +292,65 @@ def test_qcache_eager_covers_video_after_round_one(setup):
         np.testing.assert_array_equal(a, c)
     # lazy: round 1's first (compute-mode) pass stays uncached
     assert not cores[1]._qcached.all()
+
+
+def test_label_pack_roundtrip():
+    """Adaptive 1/2/4-bit label packing (the download-width optimization)
+    must roundtrip exactly for every class count it claims to hold."""
+    from mivos_tpu.core.inference import (_label_bits, _pack_labels,
+                                          _unpack_labels)
+    rng = np.random.RandomState(0)
+    for c, want_bits in ((2, 1), (3, 2), (4, 2), (5, 4), (16, 4)):
+        bits = _label_bits(c)
+        assert bits == want_bits
+        lab = rng.randint(0, c, (3, 8, 16)).astype(np.uint8)
+        packed = np.asarray(_pack_labels(jnp.asarray(lab), bits))
+        assert packed.shape[-1] == 16 * bits // 8
+        np.testing.assert_array_equal(_unpack_labels(packed, bits), lab)
+    assert _label_bits(17) == 0
+
+
+def test_single_object_session_one_bit_labels(setup):
+    """K=1 session runs the 1-bit packed download path; labels must
+    equal the argmax of the stored probabilities."""
+    prop, pp, _fuse, _fp, images = setup
+    rng = np.random.RandomState(9)
+    labels = jnp.asarray(rng.randint(0, 2, (RH, RW)))
+    fg = one_hot_mask(labels, 1)
+    bg = 1.0 - fg.sum(0, keepdims=True)
+    mask = jnp.concatenate([bg, fg], axis=0)
+
+    core = InferenceCore(prop, pp, None, None, images, 1,
+                         mem=MemoryConfig(top_k=10, mem_freq=2))
+    assert core._pack_bits == 1
+    out = core.interact(mask, 0)
+    assert out.shape == images.shape[:3] and out.max() <= 1
+    for ti in range(images.shape[0]):
+        want = np.asarray(jnp.argmax(core.get_prob(ti)[..., 0], axis=0))
+        lw, uw, lh, uh = core.pad
+        want = want[lh: core.nh - uh, lw: core.nw - uw]
+        np.testing.assert_array_equal(out[ti], want)
+
+
+def test_long_multiround_chunked_cache_slices(setup):
+    """Longer video, 3 rounds: cached passes slice the query cache PER
+    CHUNK in both directions (the per-pass stacking this replaced OOMed
+    300-frame backward passes on 16 GB chips); results must match the
+    cache-off session exactly."""
+    prop, pp, fuse, fp, _ = setup
+    rng = np.random.RandomState(31)
+    t = 40
+    images = rng.rand(t, RH, RW, 3).astype(np.float32)
+    masks = [make_interaction_mask(rng) for _ in range(3)]
+    idxs = [0, t - 1, t // 2]
+
+    outs = []
+    for kw in ({}, {"cache_queries": False}):
+        core = InferenceCore(prop, pp, fuse, fp, images, K,
+                             mem=MemoryConfig(top_k=10, mem_freq=5, **kw))
+        outs.append([core.interact(m, idx=i).copy()
+                     for m, i in zip(masks, idxs)])
+        if not kw:
+            assert core._qcached[1:].all()
+    for a, b in zip(*outs):
+        np.testing.assert_array_equal(a, b)
