@@ -67,7 +67,8 @@ def main():
     if use_local:
         summary = run_local_interactive_davis(
             prop_net, prop_params, fuse_net, fuse_params, s2m_net,
-            s2m_params, davis_root=args.davis, mem=mem)
+            s2m_params, davis_root=args.davis, mem=mem,
+            out_path=args.output, save_mask=args.save_mask)
     else:
         summary = run_davis_interactive(
             prop_net, prop_params, fuse_net, fuse_params, s2m_net,

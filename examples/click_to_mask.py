@@ -19,8 +19,16 @@ sys.path.insert(0, path.dirname(path.dirname(path.abspath(__file__))))
 def parse_clicks(spec):
     clicks = []
     for tok in spec.split():
-        y, x, sign = tok.split(",")
+        try:
+            y, x, sign = tok.split(",")
+            assert sign in ("+", "-")
+        except (ValueError, AssertionError):
+            raise SystemExit(f'bad click "{tok}" — expected "y,x,+" or '
+                             f'"y,x,-" (e.g. "120,340,+ 80,500,-")')
         clicks.append((float(y), float(x), sign == "+"))
+    if not clicks:
+        raise SystemExit("no clicks given — pass at least one "
+                         '"y,x,+" token in --clicks')
     return clicks
 
 

@@ -60,6 +60,24 @@ class DAVISTestDataset:
     def __len__(self) -> int:
         return len(self.videos)
 
+    def load_labels(self, index: int):
+        """Annotation labels only — no RGB decode. Returns
+        ((T, H, W) uint8 raw-palette labels, object-id list). Used by
+        eval harnesses that need GT up front but videos lazily."""
+        video = self.videos[index]
+        masks = []
+        for f in range(self.num_frames[video]):
+            mask_file = path.join(self.mask_dir, video, f"{f:05d}.png")
+            if path.exists(mask_file):
+                masks.append(_load_palette_mask(mask_file))
+            else:
+                masks.append(np.zeros_like(masks[0]))
+        lab = np.stack(masks)
+        if self.single_object:
+            return (lab > 0.5).astype(np.uint8), [1]
+        labels = np.unique(lab[0])
+        return lab, labels[labels != 0].tolist()
+
     def __getitem__(self, index: int) -> Dict:
         video = self.videos[index]
         t = self.num_frames[video]

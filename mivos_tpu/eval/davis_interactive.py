@@ -90,7 +90,9 @@ def run_local_interactive(prop_net, prop_params, fuse_net, fuse_params,
                           s2m_net, s2m_params, sequences: Dict,
                           max_nb_interactions: int = 8,
                           max_time_per_interaction: int = 30,
-                          mem: MemoryConfig = MemoryConfig()) -> Dict:
+                          mem: MemoryConfig = MemoryConfig(),
+                          out_path: Optional[str] = None,
+                          save_mask: bool = False) -> Dict:
     """Hermetic variant of run_davis_interactive: the in-repo robot and
     session (eval/robot.py) replace the external `davisinteractive`
     package, so the full scribble->S2M->propagate->fuse protocol runs
@@ -99,10 +101,15 @@ def run_local_interactive(prop_net, prop_params, fuse_net, fuse_params,
     sequences: name -> (images (T,H,W,3) float — or a zero-arg callable
     returning them, for lazy loading of large eval sets —, gt (T,H,W)
     int labels, num_objects). Returns the global summary (auc,
-    metric_at_60s, curve) from eval/davis_metrics.summarize_session."""
+    metric_at_60s, curve) from eval/davis_metrics.summarize_session;
+    with out_path it is also written to <out_path>/summary.json, and
+    save_mask persists every round's masks like run_davis_interactive
+    does (<out_path>/<round>/<sequence>/%05d.png)."""
     from mivos_tpu.eval.robot import LocalInteractiveSession
     from mivos_tpu.interactive.scribbles import is_empty
 
+    if out_path:
+        os.makedirs(out_path, exist_ok=True)
     sess = LocalInteractiveSession(
         {n: (gt, k) for n, (_im, gt, k) in sequences.items()},
         max_nb_interactions=max_nb_interactions,
@@ -124,9 +131,13 @@ def run_local_interactive(prop_net, prop_params, fuse_net, fuse_params,
                 # correct; the round passes with the mask unchanged.
                 sess.submit_masks(sess._pred)
                 continue
+            rnd = len(sess.records[name])
             pred_masks, next_frames, _ = processor.interact(scribbles)
             sess.submit_masks(pred_masks, next_frames)
-    return sess.get_global_summary()
+            if save_mask and out_path:
+                _save_masks(out_path, rnd, name, pred_masks)
+    return sess.get_global_summary(
+        save_file=path.join(out_path, "summary.json") if out_path else None)
 
 
 def run_local_interactive_davis(prop_net, prop_params, fuse_net,
@@ -136,7 +147,9 @@ def run_local_interactive_davis(prop_net, prop_params, fuse_net,
                                 max_time_per_interaction: int = 30,
                                 mem: MemoryConfig = MemoryConfig(),
                                 subset: str = "trainval",
-                                imset: str = "2017/val.txt") -> Dict:
+                                imset: str = "2017/val.txt",
+                                out_path: Optional[str] = None,
+                                save_mask: bool = False) -> Dict:
     """run_local_interactive over the on-disk DAVIS split: GT labels
     are loaded up front (small), videos lazily per sequence. The
     hermetic-robot counterpart of run_davis_interactive for sandboxes
@@ -146,19 +159,20 @@ def run_local_interactive_davis(prop_net, prop_params, fuse_net,
     trainval = path.join(davis_root, subset)
     dataset = DAVISTestDataset(trainval, imset=imset)
     sequences = {}
-    for i in range(len(dataset)):
-        d = dataset[i]
-        name = d["info"]["name"]
-        oh = np.asarray(d["gt"])[..., 0]       # (K, T, H, W) one-hot
-        gt = np.zeros(oh.shape[1:], np.int32)
-        for k in range(oh.shape[0]):           # ids renumbered 1..K,
-            gt[oh[k] > 0.5] = k + 1            # matching the processor
+    for i, name in enumerate(dataset.videos):
+        # Labels only here (no RGB decode); the loader decodes the
+        # video once, when its session starts.
+        lab, ids = dataset.load_labels(i)
+        gt = np.zeros(lab.shape, np.int32)
+        for k, obj in enumerate(ids):          # ids renumbered 1..K,
+            gt[lab == obj] = k + 1             # matching the processor
         loader = (lambda j=i: np.asarray(dataset[j]["rgb"]))
-        sequences[name] = (loader, gt, len(d["info"]["labels"]))
+        sequences[name] = (loader, gt, len(ids))
     return run_local_interactive(
         prop_net, prop_params, fuse_net, fuse_params, s2m_net, s2m_params,
         sequences, max_nb_interactions=max_nb_interactions,
-        max_time_per_interaction=max_time_per_interaction, mem=mem)
+        max_time_per_interaction=max_time_per_interaction, mem=mem,
+        out_path=out_path, save_mask=save_mask)
 
 
 def _save_masks(out_path: str, user_iter: int, seq: str,

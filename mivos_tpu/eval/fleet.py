@@ -15,6 +15,7 @@ busy without duplicating weights in host memory.
 """
 from __future__ import annotations
 
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, List, Optional, Sequence
 
@@ -28,28 +29,37 @@ from mivos_tpu.core.inference import InferenceCore
 def fleet_map(fn: Callable, items: Sequence,
               devices: Optional[List] = None,
               workers_per_device: int = 1) -> List:
-    """Run fn(item) for every item, round-robining items over devices.
-    fn executes with that device as the JAX default, so all arrays it
-    creates (and every jit dispatch) land there."""
+    """Run fn(item) for every item, fanning items over devices. Each
+    worker thread OWNS one device and pulls items from a shared queue
+    (work stealing), so a slow video never queues two sessions onto one
+    chip while others idle — two concurrent sessions' device-resident
+    frames + query caches would contend for (or exhaust) its HBM.
+    fn executes with the worker's device as the JAX default, so all
+    arrays it creates (and every jit dispatch) land there."""
     devices = list(devices if devices is not None else jax.local_devices())
     results = [None] * len(items)
     errors: List = []
+    next_item = iter(range(len(items)))
+    lock = threading.Lock()
 
-    def work(i: int) -> None:
-        dev = devices[i % len(devices)]
-        try:
-            with jax.default_device(dev):
-                results[i] = fn(items[i])
-        except Exception as e:  # surface after the pool drains
-            errors.append((i, e))
+    def worker(dev) -> None:
+        while True:
+            with lock:
+                i = next(next_item, None)
+            if i is None:
+                return
+            try:
+                with jax.default_device(dev):
+                    results[i] = fn(items[i])
+            except Exception as e:  # surface after the pool drains
+                errors.append((i, e))
 
-    n = min(len(items), len(devices) * workers_per_device)
-    if n <= 1:
-        for i in range(len(items)):
-            work(i)
+    lanes = [dev for dev in devices for _ in range(workers_per_device)]
+    if len(items) <= 1 or len(lanes) <= 1:
+        worker(lanes[0] if lanes else None)
     else:
-        with ThreadPoolExecutor(max_workers=n) as ex:
-            list(ex.map(work, range(len(items))))
+        with ThreadPoolExecutor(max_workers=len(lanes)) as ex:
+            list(ex.map(worker, lanes))
     if errors:
         i, e = errors[0]
         raise RuntimeError(f"fleet item {i} failed: {e!r}") from e
@@ -65,8 +75,10 @@ def propagate_videos(prop_net, prop_params, fuse_net, fuse_params,
     """Propagate a first-mask through each video, videos fanned out
     across the local devices. videos[i]: (T, H, W, 3); masks[i]:
     (K+1, H, W, 1) probabilities. Returns per-video (T, H, W) labels."""
-    frame_idxs = frame_idxs or [0] * len(videos)
-    num_objects = num_objects or [m.shape[0] - 1 for m in masks]
+    if frame_idxs is None:
+        frame_idxs = [0] * len(videos)
+    if num_objects is None:
+        num_objects = [m.shape[0] - 1 for m in masks]
 
     def run(i: int) -> np.ndarray:
         core = InferenceCore(prop_net, prop_params, fuse_net, fuse_params,

@@ -131,6 +131,16 @@ class InteractiveScribblesRobot:
             blob = eroded
         path = _longest_skeleton_path(zhang_suen_thin(blob))
         if len(path) < self.min_nb_nodes:
+            # Symmetric blobs (e.g. squares) thin to a point — fall back
+            # to a polyline along the distance-transform ridge, which is
+            # interior by construction.
+            dt = cv2.distanceTransform(blob, cv2.DIST_L2, 3)
+            ys, xs = np.nonzero(dt >= max(1.0, 0.5 * dt.max()))
+            if len(ys) < self.min_nb_nodes:
+                return None
+            order = np.argsort(ys * (w + 1) + xs)
+            path = np.stack([ys[order], xs[order]], axis=1)
+        if len(path) < self.min_nb_nodes:
             return None
         if len(path) > self.nb_points:
             sel = np.linspace(0, len(path) - 1, self.nb_points).astype(int)
@@ -183,6 +193,7 @@ class LocalInteractiveSession:
         self._next_frames: Optional[List[int]] = None
         self._t0: Optional[float] = None
         self._elapsed = 0.0
+        self._history: List[Dict] = []       # this sequence's scribbles
         self.records: Dict[str, List[Tuple[float, float]]] = {}
 
     # -- context manager --------------------------------------------
@@ -207,16 +218,27 @@ class LocalInteractiveSession:
         self._pred = np.zeros_like(gt)
         self._next_frames = None
         self._new_seq = True
+        self._history = []
         self.records[self._order[self._seq_i]] = []
         return True
 
     def get_scribbles(self, only_last: bool = True):
+        """only_last=True: this round's robot scribbles. only_last=False:
+        all rounds' scribbles for the sequence merged per frame (the
+        DavisInteractiveSession surface this mirrors)."""
         name = self._order[self._seq_i]
         gt, k = self.sequences[name]
         scribbles = self.robot.interact(self._pred, gt, k,
                                         candidates=self._next_frames,
                                         sequence=name)
+        self._history.append(scribbles)
         self._t0 = time.monotonic()
+        if not only_last and len(self._history) > 1:
+            frames = [[] for _ in range(gt.shape[0])]
+            for scr in self._history:
+                for ti, lines in enumerate(scr["scribbles"]):
+                    frames[ti] = frames[ti] + lines
+            scribbles = {**scribbles, "scribbles": frames}
         return name, scribbles, self._new_seq
 
     def submit_masks(self, pred_masks: np.ndarray,
@@ -225,7 +247,9 @@ class LocalInteractiveSession:
         gt, k = self.sequences[name]
         self._elapsed += time.monotonic() - (self._t0 or time.monotonic())
         self._pred = np.asarray(pred_masks)
-        self._next_frames = list(next_frames) if next_frames else None
+        self._next_frames = (list(next_frames)
+                             if next_frames is not None
+                             and len(next_frames) > 0 else None)
         self.records[name].append(
             (self._elapsed, sequence_jf(self._pred, gt, k)))
         self._round += 1

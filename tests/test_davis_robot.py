@@ -142,6 +142,22 @@ class TestLocalSession:
         assert summary["metric_at_60s"] > 0.99
         assert len(sess.get_report()["s"]) == 3
 
+    def test_get_scribbles_only_last_false_merges_history(self):
+        gt = np.zeros((2, 32, 32), np.int32)
+        gt[:, 4:20, 4:20] = 1
+        sess = LocalInteractiveSession({"s": (gt, 1)},
+                                       max_nb_interactions=2,
+                                       max_time=1000.0)
+        with sess:
+            assert sess.next()
+            _, first, _ = sess.get_scribbles()
+            sess.submit_masks(np.zeros_like(gt))
+            assert sess.next()
+            _, merged, _ = sess.get_scribbles(only_last=False)
+        n_first = sum(len(ls) for ls in first["scribbles"])
+        n_merged = sum(len(ls) for ls in merged["scribbles"])
+        assert n_first > 0 and n_merged > n_first   # both rounds present
+
     def test_blind_processor_scores_low(self):
         gt = np.zeros((2, 32, 32), np.int32)
         gt[:, 4:28, 4:28] = 1

@@ -37,10 +37,22 @@ def _mk_inputs(n_videos: int):
 
 
 def test_fleet_map_places_work_on_distinct_devices():
+    import time
+
     devices = jax.local_devices()[:4]
-    got = fleet_map(lambda x: list(jnp.asarray(x + 1.0).devices())[0],
-                    [1.0, 2.0, 3.0, 4.0], devices=devices)
-    assert set(got) == set(devices)      # round-robin hit every device
+
+    def place(x):
+        time.sleep(0.3)   # hold every worker busy so each takes one item
+        return list(jnp.asarray(x + 1.0).devices())[0]
+
+    got = fleet_map(place, [1.0, 2.0, 3.0, 4.0], devices=devices)
+    assert set(got) == set(devices)      # every device-owning lane ran
+    # A worker owns ONE device: with more items than devices, placement
+    # stays within the given devices (work stealing, no double-booking
+    # by assignment).
+    got2 = fleet_map(place, [float(i) for i in range(6)],
+                     devices=devices[:2])
+    assert set(got2) <= set(devices[:2])
 
 
 def test_propagate_videos_matches_serial(net):
