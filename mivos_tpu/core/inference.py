@@ -35,7 +35,8 @@ from mivos_tpu.models.fusion import FusionNet
 from mivos_tpu.models.propagation import PropagationNetwork
 from mivos_tpu.ops.aggregate import aggregate_wbg
 from mivos_tpu.utils.tensor import (cast_params_bf16, dev_f32_pair, dev_i32,
-                                    dev_i32_seq, next_bucket, pad_divide_by)
+                                    dev_i32_seq, next_bucket, pad_divide_by,
+                                    time_buckets)
 
 Query = Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]
 
@@ -90,15 +91,21 @@ def _unpack_labels(packed: np.ndarray, bits: int) -> np.ndarray:
     return out
 
 
-@jax.jit
-def _normalize_frames(x: jax.Array) -> jax.Array:
+def _normalize_frames_impl(x: jax.Array) -> jax.Array:
     """uint8 RGB -> ImageNet-normalized float32, ON DEVICE. Sessions
     accept raw uint8 frames so the host->device upload ships 1 byte per
-    channel instead of 4 (the decoded-frame preprocessing fuses into
-    the device pipeline; the reference normalizes in PIL/cv2 on host)."""
+    channel instead of 4, and device-resident videos STAY uint8 in HBM
+    (4x less frame memory than fp32) — the scan body normalizes each
+    gathered frame in-flight (the decoded-frame preprocessing fuses
+    into the device pipeline; the reference normalizes in PIL/cv2 on
+    host)."""
     mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
     std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
     return (x.astype(jnp.float32) / 255.0 - mean) / std
+
+
+_normalize_frames = jax.jit(_normalize_frames_impl)
+_norm_masked = jax.jit(lambda x, m: _normalize_frames_impl(x) * m)
 
 
 @functools.lru_cache(maxsize=8)
@@ -176,19 +183,35 @@ def build_scan_pass(prop_net: PropagationNetwork,
     arrays and the entire pass — query encode, memory read, decode,
     aggregate, (optional) difference-aware fusion, memorize, bank
     write — compiles into one XLA while-loop. Pass lengths are bucketed
-    (padded steps write to a scratch slot) so the executable is reused
-    across videos and rounds.
+    (padded steps write to a scratch slot) and frame inputs are gathered
+    from the full time-bucketed device stacks by per-step index, so the
+    executable is keyed by (chunk bucket, time bucket, qmode, fuse) and
+    reused across videos and rounds with zero per-chunk staging
+    dispatches.
     """
 
     def body_fn(params, fuse_params, key_k, pos_diff, neg_diff, do_fuse,
-                qmode, carry, xs):
+                qmode, img_gather, images_full, q_full, pad_mask, carry, xs):
         bank_k, bank_v = carry
-        image = xs["image"]
         rows, wrow = xs["rows"], xs["wrow"]
+        # Frame inputs are GATHERED from the full device-resident stacks
+        # by per-step index — host-side per-chunk slicing costs ~a dozen
+        # dispatches per chunk through the tunnel, which measured 2.7x
+        # slower than recomputing the features (long_video_bench).
+        if img_gather:
+            image = jax.lax.dynamic_index_in_dim(
+                images_full, xs["fidx"], 0, keepdims=False)
+        else:
+            image = xs["image"]     # host-offloaded video: staged chunk
+        if image.dtype == jnp.uint8:
+            # Normalize in-flight; the pad mask re-zeroes the /16
+            # padding band (float videos pad AFTER normalization, so
+            # their pad is 0.0 — normalize(0) is not).
+            image = _normalize_frames_impl(image) * pad_mask
         valid = jnp.arange(bank_k.shape[1]) < rows
         if qmode == "cached":
-            f8, f4, k16, v16 = (xs["q8"], xs["q4"], xs["qk16"],
-                                xs["qv16"])
+            f8, f4, k16, v16 = (jax.lax.dynamic_index_in_dim(
+                q, xs["fidx"], 0, keepdims=False) for q in q_full)
             f16 = k16  # unused by segment_with_query
         else:
             f16, f8, f4, k16, v16 = prop_net.apply(
@@ -216,19 +239,29 @@ def build_scan_pass(prop_net: PropagationNetwork,
             return (bank_k, bank_v), (agg, (f8, f4, k16, v16))
         return (bank_k, bank_v), (agg, ())
 
-    @functools.partial(jax.jit, static_argnames=("do_fuse", "qmode"),
+    @functools.partial(jax.jit,
+                       static_argnames=("do_fuse", "qmode", "img_gather"),
                        donate_argnums=(2, 3))
-    def scan_pass(params, fuse_params, bank_k, bank_v, images_f, rows_f,
-                  wrow_f, prev_probs_f, dist_f, key_k, pos_diff, neg_diff,
-                  queries_f, do_fuse: bool, qmode: str = "compute"):
-        xs = {"image": images_f, "rows": rows_f, "wrow": wrow_f}
+    def scan_pass(params, fuse_params, bank_k, bank_v, images_f, fidx_f,
+                  rows_f, wrow_f, prev_probs_f, dist_f, key_k, pos_diff,
+                  neg_diff, queries_f, pad_mask_f, do_fuse: bool,
+                  qmode: str = "compute", img_gather: bool = True):
+        """images_f: the FULL (T_bucket, ...) device video when
+        img_gather (indexed per step via fidx_f), else a staged
+        (chunk, ...) stack. queries_f: full (T_bucket, ...) query-cache
+        arrays when qmode == 'cached'."""
+        xs = {"fidx": fidx_f, "rows": rows_f, "wrow": wrow_f}
+        if not img_gather:
+            xs["image"] = images_f
         if do_fuse:
             xs["prev_prob"] = prev_probs_f
             xs["dist"] = dist_f
-        if qmode == "cached":
-            xs["q8"], xs["q4"], xs["qk16"], xs["qv16"] = queries_f
         body = functools.partial(body_fn, params, fuse_params, key_k,
-                                 pos_diff, neg_diff, do_fuse, qmode)
+                                 pos_diff, neg_diff, do_fuse, qmode,
+                                 img_gather,
+                                 images_f if img_gather else None,
+                                 queries_f if qmode == "cached" else None,
+                                 pad_mask_f)
         (bank_k, bank_v), (probs, queries) = jax.lax.scan(
             body, (bank_k, bank_v), xs)
         # Packed label maps (1/2/4-bit adaptive, see _label_bits) ship
@@ -273,8 +306,12 @@ class InferenceCore:
         self.scan_pass = build_scan_pass(prop_net, fuse_net)
 
         if images.dtype == np.uint8 and mem.mem_profile == 0:
-            # Raw frames: upload the uint8 bytes, normalize on device.
-            images = _normalize_frames(jax.device_put(images))
+            # Raw frames: upload the uint8 bytes and KEEP them uint8 in
+            # HBM (4x less memory than fp32; frees headroom for the
+            # query cache on long videos). The scan body and get_image
+            # normalize per gathered frame — pointwise, so padding
+            # before or after normalization is equivalent.
+            images = jax.device_put(images)
         elif images.dtype == np.uint8:
             from mivos_tpu.data.transforms import im_normalize
 
@@ -290,10 +327,27 @@ class InferenceCore:
 
         self.on_device_data = mem.mem_profile == 0
         self.on_device_results = mem.mem_profile <= 1
+        # Time axis padded to a bucket: the scan GATHERS frames (and
+        # cached query features) from the full device stack by index,
+        # so the executable is keyed by the bucket, not the video
+        # length (one compile per bucket across videos).
+        self.t_bucket = next_bucket(self.t, time_buckets())
         if mem.mem_profile == 0:
+            if self.t_bucket > self.t:
+                padded = jnp.concatenate(
+                    [padded, jnp.broadcast_to(
+                        padded[-1:],
+                        (self.t_bucket - self.t,) + padded.shape[1:])], 0)
             self.images = jax.device_put(padded)
         else:
             self.images = np.asarray(padded)  # host copy; slices staged in
+
+        # 1 inside the original frame, 0 in the /16 padding band — used
+        # to re-zero the pad after in-scan normalization of uint8 video.
+        lw, uw, lh, uh = self.pad
+        pm = np.zeros((self.nh, self.nw, 1), np.float32)
+        pm[lh: self.nh - uh, lw: self.nw - uw] = 1.0
+        self._pad_mask = jnp.asarray(pm)
 
         # Per-frame (K+1, nh, nw, 1) probabilities; None = untouched frame
         # (background). Host numpy when offloaded, device arrays otherwise.
@@ -321,7 +375,7 @@ class InferenceCore:
         self._qcache = None
         self._qcache_enabled = (
             mem.cache_queries and mem.mem_profile == 0
-            and self.t * per_frame <= mem.query_cache_bytes)
+            and self.t_bucket * per_frame <= mem.query_cache_bytes)
         self._qcached = np.zeros(self.t, bool)
         self._pass_count = 0
 
@@ -342,6 +396,8 @@ class InferenceCore:
 
     def get_image(self, idx: int) -> jax.Array:
         if self.mem.mem_profile == 0:
+            if self.images.dtype == jnp.uint8:
+                return _norm_masked(self.images[idx], self._pad_mask)
             return self.images[idx]
         if idx not in self.image_buf:
             if len(self.image_buf) > self.mem.image_buf_size:
@@ -501,28 +557,21 @@ class InferenceCore:
             for j, ti in enumerate(frames):
                 dist_np[j, :, 0] = abs(closest_ti - ti) / denom
                 dist_np[j, :, 1] = abs(idx - ti) / denom
+            # One upload per pass (bytes, unlike the GB-scale stacks the
+            # chunk loop slices); chunks slice it on device.
+            dist_all = jnp.asarray(dist_np)
             pos_diff, neg_diff = self.pos_diff, self.neg_diff
         else:
-            dist_np = None
+            dist_all = None
             key_k = jnp.zeros((1,))
             pos_diff = neg_diff = jnp.zeros((1,))
         dummy = jnp.zeros((1,))
 
-        # Per-chunk input slicing: whole-pass stacks (images, prev probs,
-        # cached features) would materialize O(pass) temporary copies —
-        # a flipped 300-frame backward pass costs multiple GB and OOMs
-        # long videos. Slicing per chunk bounds the peak at chunk size.
-        def chunk_slice(arr, c0: int, c1: int) -> jax.Array:
+        def chunk_frames(c0: int, c1: int) -> List[int]:
+            """This chunk's frame indices, padded by repeating the last
+            valid frame (padded steps write to the scratch bank row)."""
             tis = frames[c0:min(c1, n)]
-            a, b = (tis[0], tis[-1] + 1) if forward else (tis[-1], tis[0] + 1)
-            sl = arr[a:b]
-            if not forward:
-                sl = jnp.flip(sl, axis=0)
-            pad_n = (c1 - c0) - len(tis)
-            if pad_n > 0:
-                pad = jnp.broadcast_to(sl[-1:], (pad_n,) + sl.shape[1:])
-                sl = jnp.concatenate([sl, pad], axis=0)
-            return sl
+            return tis + [tis[-1]] * ((c1 - c0) - len(tis))
 
         def chunk_prev(c0: int, c1: int) -> jax.Array:
             tis = frames[c0:min(c1, n)]
@@ -548,22 +597,31 @@ class InferenceCore:
             qmode = "compute"
         self._pass_count += 1
 
+        # Frames enter the scan as per-step GATHER indices into the full
+        # device-resident stacks — no per-chunk slice/flip/concat
+        # dispatches (whole-pass stacking OOMed 300-frame backward
+        # passes; per-chunk device slicing measured 2.7x slower than
+        # recompute from dispatch latency alone). Host-offloaded videos
+        # (mem_profile >= 1) stage each chunk's frames with one upload.
+        img_gather = self.on_device_data
+        queries_f = tuple(self._qcache) if qmode == "cached" else dummy
         bank_k, bank_v = self.bank.keys, self.bank.values
         chunk_probs, chunk_packed, offsets = [], [], []
         c0 = 0
         for size in sizes:
             c1 = c0 + size
-            queries_f = (tuple(chunk_slice(q, c0, c1)
-                               for q in self._qcache)
-                         if qmode == "cached" else dummy)
+            tis = chunk_frames(c0, c1)
+            images_f = (self.images if img_gather
+                        else jnp.asarray(self.images[np.asarray(tis)]))
             bank_k, bank_v, probs, packed, queries = self.scan_pass(
                 self.prop_params, self.fuse_params, bank_k, bank_v,
-                chunk_slice(self.images, c0, c1),
+                images_f, dev_i32_seq(tuple(tis)),
                 dev_i32_seq(tuple(rows[c0:c1])),
                 dev_i32_seq(tuple(wrows[c0:c1])),
                 chunk_prev(c0, c1) if do_fuse else dummy,
-                jnp.asarray(dist_np[c0:c1]) if do_fuse else dummy,
-                key_k, pos_diff, neg_diff, queries_f, do_fuse, qmode)
+                dist_all[c0:c1] if do_fuse else dummy,
+                key_k, pos_diff, neg_diff, queries_f, self._pad_mask,
+                do_fuse, qmode, img_gather)
             try:
                 packed.copy_to_host_async()
             except Exception:
@@ -596,7 +654,7 @@ class InferenceCore:
         dt = jnp.bfloat16 if self.prop_net.dtype == "bfloat16" \
             else jnp.float32
         self._qcache = [
-            jnp.zeros((self.t, 1, self.nh // s, self.nw // s, c), dt)
+            jnp.zeros((self.t_bucket, 1, self.nh // s, self.nw // s, c), dt)
             for s, c in self._QDIMS]
 
     def _qcache_store(self, queries, frames: List[int], c0: int,

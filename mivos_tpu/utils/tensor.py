@@ -129,6 +129,18 @@ def compute_iou(seg: jax.Array, gt: jax.Array, eps: float = 1e-6) -> jax.Array:
     return (i + eps) / (u + eps)
 
 
+def time_buckets(cap: int = 8192) -> Tuple[int, ...]:
+    """Bucket ladder for the video-time axis. Device-resident frame
+    stacks and the query cache are padded to these lengths so the
+    in-scan frame gather (core/inference.py) compiles one executable
+    per bucket, not per video length: ~1.25x geometric growth bounds
+    overpad at 25% and bucket count at O(log T)."""
+    out = [8]
+    while out[-1] < cap:
+        out.append(out[-1] + max(8, out[-1] // 4))
+    return tuple(out)
+
+
 def next_bucket(n: int, buckets: Sequence[int]) -> int:
     """Smallest bucket >= n. Buckets must be ascending; the last bucket is a cap."""
     for b in buckets:

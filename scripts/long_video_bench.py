@@ -92,10 +92,13 @@ def main():
 
     fps = {name: round((rounds * (T - 1)) / sum(ts), 1)
            for name, ts in report.items()}
-    fps_steady = {name: round((T - 1) / ts[-1], 1)
+    # Bank-capacity buckets grow with the interaction count, so a
+    # remote compile can land in ANY round; the compile-free steady
+    # state is each config's fastest round.
+    fps_steady = {name: round((T - 1) / min(ts), 1)
                   for name, ts in report.items()}
     print(json.dumps({"rounds_s": report, "session_fps": fps,
-                      "steady_state_fps": fps_steady,
+                      "best_round_fps": fps_steady,
                       "frames": T, "hw": [H, W], "objects": K}))
 
 

@@ -332,6 +332,26 @@ def test_single_object_session_one_bit_labels(setup):
         np.testing.assert_array_equal(out[ti], want)
 
 
+def test_time_bucketed_video_padding(setup):
+    """Device video (and query cache) pad the time axis to a bucket so
+    the in-scan frame gather compiles per bucket, not per video length;
+    outputs stay exactly the unpadded video's."""
+    prop, pp, _fuse, _fp, _ = setup
+    rng = np.random.RandomState(13)
+    t = 9                                     # not on the bucket ladder
+    images = rng.rand(t, RH, RW, 3).astype(np.float32)
+    mask = make_interaction_mask(rng)
+    core = InferenceCore(prop, pp, None, None, images, K,
+                         mem=MemoryConfig(top_k=10, mem_freq=2))
+    assert core.t == t
+    assert core.t_bucket >= t
+    assert core.images.shape[0] == core.t_bucket
+    out = core.interact(mask, 0)
+    assert out.shape == (t, RH, RW)
+    if core._qcache is not None:
+        assert core._qcache[0].shape[0] == core.t_bucket
+
+
 def test_long_multiround_chunked_cache_slices(setup):
     """Longer video, 3 rounds: cached passes slice the query cache PER
     CHUNK in both directions (the per-pass stacking this replaced OOMed
