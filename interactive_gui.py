@@ -299,6 +299,17 @@ def main():
             self.log("Saved to masks_out/ + overlays_out/.")
 
         def keyPressEvent(self, event):
+            from PyQt5.QtCore import Qt
+
+            # Arrow keys step the timeline (reference
+            # interactive_gui.py:304-305).
+            if event.key() == Qt.Key_Left:
+                self.tl_slider.setValue(max(0, self.session.cursur - 1))
+                return
+            if event.key() == Qt.Key_Right:
+                self.tl_slider.setValue(
+                    min(self.session.t - 1, self.session.cursur + 1))
+                return
             key = event.text()
             if key.isdigit() and int(key) > 0 and \
                     int(key) <= self.session.num_objects:
