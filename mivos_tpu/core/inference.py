@@ -41,24 +41,6 @@ from mivos_tpu.utils.tensor import (cast_params_bf16, dev_f32_pair, dev_i32,
 Query = Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]
 
 
-@functools.partial(jax.jit, static_argnames=("valid", "flip"),
-                   donate_argnums=(0, 1, 2, 3))
-def _qcache_write4(c0, c1, c2, c3, q0, q1, q2, q3, start,
-                   valid: int, flip: bool):
-    """In-place (donated) write of one emitted chunk's four query-feature
-    stacks — ONE dispatch instead of 4 writes (+4 flips on backward
-    passes); dispatch latency through the tunnel is a first-order cost
-    of emit-mode passes. valid/flip are static (tiny closed set: chunk
-    sizes x 2 directions)."""
-    def upd(cache, q):
-        q = q[:valid]
-        if flip:
-            q = jnp.flip(q, axis=0)
-        return jax.lax.dynamic_update_slice(cache, q, (start, 0, 0, 0, 0))
-
-    return upd(c0, q0), upd(c1, q1), upd(c2, q2), upd(c3, q3)
-
-
 def _label_bits(num_classes: int) -> int:
     """Bit-width for packed label downloads: the host link runs at tens
     of MB/s, so labels ship at the information rate of the class count —
@@ -148,6 +130,38 @@ def build_step_fns(prop_net: PropagationNetwork, fuse_net: Optional[FusionNet]):
             w = jax.nn.sigmoid(logits)
             return aggregate_wbg(w, keep_bg=True)
 
+    # Batched query pre-encode for the cache: B independent frames
+    # through the conv towers in one call (batch-1 convs inside the
+    # scan underuse the MXU; measured ~2.1s of a 4.0s 299-frame
+    # compute round is query encoding).
+    @jax.jit
+    def query_batch_fn(p, frames, pad_mask):
+        if frames.dtype == jnp.uint8:
+            frames = _normalize_frames_impl(frames) * pad_mask
+        f8, f4, k16, v16 = prop_net.apply(
+            p, frames, method="get_query_values_batched")
+        return tuple(x[:, None] for x in (f8, f4, k16, v16))
+
+    # Fused gather + batch-encode + cache-write: ONE dispatch per chunk
+    # (dispatch latency through the tunnel is on par with the encoder
+    # compute it schedules, so take/encode/write as separate calls eat
+    # the batching win).
+    @functools.partial(jax.jit, static_argnames=("valid",),
+                       donate_argnums=(1, 2, 3, 4))
+    def query_encode_write_fn(p, c0, c1, c2, c3, images_full, fidx,
+                              start, pad_mask, valid: int):
+        frames = jnp.take(images_full, fidx, axis=0)
+        if frames.dtype == jnp.uint8:
+            frames = _normalize_frames_impl(frames) * pad_mask
+        qs = prop_net.apply(p, frames,
+                            method="get_query_values_batched")
+
+        def upd(cache, q):
+            return jax.lax.dynamic_update_slice(
+                cache, q[:valid, None], (start, 0, 0, 0, 0))
+
+        return tuple(upd(c, q) for c, q in zip((c0, c1, c2, c3), qs))
+
     argmax_fn = jax.jit(lambda prob: jnp.argmax(prob[..., 0], axis=0)
                         .astype(jnp.uint8))
 
@@ -167,7 +181,8 @@ def build_step_fns(prop_net: PropagationNetwork, fuse_net: Optional[FusionNet]):
         return _pack_labels(lab, _label_bits(probs.shape[1]))
 
     return (query_fn, memorize_fn, propagate_step, fuse_step, argmax_fn,
-            argmax_batch_fn, argmax_pack_fn)
+            argmax_batch_fn, argmax_pack_fn, query_batch_fn,
+            query_encode_write_fn)
 
 
 @functools.lru_cache(maxsize=8)
@@ -235,9 +250,7 @@ def build_scan_pass(prop_net: PropagationNetwork,
             logits = fuse_net.apply(fuse_params, im, xs["prev_prob"][1:],
                                     agg[1:], attn, xs["dist"])
             agg = aggregate_wbg(jax.nn.sigmoid(logits), keep_bg=True)
-        if qmode == "emit":
-            return (bank_k, bank_v), (agg, (f8, f4, k16, v16))
-        return (bank_k, bank_v), (agg, ())
+        return (bank_k, bank_v), agg
 
     @functools.partial(jax.jit,
                        static_argnames=("do_fuse", "qmode", "img_gather"),
@@ -262,7 +275,7 @@ def build_scan_pass(prop_net: PropagationNetwork,
                                  images_f if img_gather else None,
                                  queries_f if qmode == "cached" else None,
                                  pad_mask_f)
-        (bank_k, bank_v), (probs, queries) = jax.lax.scan(
+        (bank_k, bank_v), probs = jax.lax.scan(
             body, (bank_k, bank_v), xs)
         # Packed label maps (1/2/4-bit adaptive, see _label_bits) ship
         # back to the host per chunk so the download overlaps the next
@@ -270,7 +283,7 @@ def build_scan_pass(prop_net: PropagationNetwork,
         lab = jnp.argmax(probs[..., 0], axis=1).astype(jnp.uint8)
         bits = _label_bits(probs.shape[1])
         packed = _pack_labels(lab, bits) if bits else lab
-        return bank_k, bank_v, probs, packed, queries
+        return bank_k, bank_v, probs, packed
 
     return scan_pass
 
@@ -302,7 +315,8 @@ class InferenceCore:
         self.mem = mem
         (self.query_fn, self.memorize_fn, self.propagate_step,
          self.fuse_step, self.argmax_fn, self.argmax_batch_fn,
-         self.argmax_pack_fn) = build_step_fns(prop_net, fuse_net)
+         self.argmax_pack_fn, self.query_batch_fn,
+         self.query_encode_write_fn) = build_step_fns(prop_net, fuse_net)
         self.scan_pass = build_scan_pass(prop_net, fuse_net)
 
         if images.dtype == np.uint8 and mem.mem_profile == 0:
@@ -582,17 +596,22 @@ class InferenceCore:
                 prev = jnp.concatenate([prev, padp], axis=0)
             return prev
 
-        # Query-cache mode: reuse cached features when every frame of
-        # the pass has them. With qcache_eager (default) features are
-        # emitted from the FIRST pass, so round 1 covers the whole video
-        # and every later pass runs fully cached — no re-encodes. The
-        # legacy lazy policy (qcache_eager=False) keeps the first pass
-        # write-free at the cost of round-2 re-encodes.
-        if self._qcache_enabled and all(self._qcached[ti] for ti in frames):
+        # Query-cache mode: with qcache_eager (default) any pass over
+        # uncached frames first PRE-ENCODES their query features in
+        # batched chunks (batch-B conv towers, query_batch_fn) and the
+        # scan then runs fully 'cached' — including round 1, whose
+        # in-scan batch-1 encodes this replaces. The legacy lazy policy
+        # (qcache_eager=False) keeps round 1 encode-in-scan at the cost
+        # of a round-2 pre-encode.
+        if self._qcache_enabled and (self.mem.qcache_eager
+                                     or self._pass_count >= 1
+                                     or all(self._qcached[ti]
+                                            for ti in frames)):
+            # Pre-encode happens PER CHUNK inside the loop below, so
+            # chunk i+1's batched encode pipelines behind chunk i's
+            # scan and label download instead of serializing in front
+            # of the whole pass.
             qmode = "cached"
-        elif self._qcache_enabled and (self.mem.qcache_eager
-                                       or self._pass_count >= 1):
-            qmode = "emit"
         else:
             qmode = "compute"
         self._pass_count += 1
@@ -604,16 +623,20 @@ class InferenceCore:
         # recompute from dispatch latency alone). Host-offloaded videos
         # (mem_profile >= 1) stage each chunk's frames with one upload.
         img_gather = self.on_device_data
-        queries_f = tuple(self._qcache) if qmode == "cached" else dummy
+        queries_f = dummy   # rebuilt per chunk in cached mode (the
+        # fused cache write donates the previous buffers)
         bank_k, bank_v = self.bank.keys, self.bank.values
         chunk_probs, chunk_packed, offsets = [], [], []
         c0 = 0
         for size in sizes:
             c1 = c0 + size
             tis = chunk_frames(c0, c1)
+            if qmode == "cached":
+                self._precompute_queries(tis)
+                queries_f = tuple(self._qcache)
             images_f = (self.images if img_gather
                         else jnp.asarray(self.images[np.asarray(tis)]))
-            bank_k, bank_v, probs, packed, queries = self.scan_pass(
+            bank_k, bank_v, probs, packed = self.scan_pass(
                 self.prop_params, self.fuse_params, bank_k, bank_v,
                 images_f, dev_i32_seq(tuple(tis)),
                 dev_i32_seq(tuple(rows[c0:c1])),
@@ -626,8 +649,6 @@ class InferenceCore:
                 packed.copy_to_host_async()
             except Exception:
                 pass  # backends without async host copies
-            if qmode == "emit":
-                self._qcache_store(queries, frames, c0, size, n)
             chunk_probs.append(probs)
             chunk_packed.append(packed)
             offsets.append(c0)
@@ -657,21 +678,32 @@ class InferenceCore:
             jnp.zeros((self.t_bucket, 1, self.nh // s, self.nw // s, c), dt)
             for s, c in self._QDIMS]
 
-    def _qcache_store(self, queries, frames: List[int], c0: int,
-                      size: int, n: int) -> None:
-        """Write one emitted chunk's query features back into the cache
-        (chunks cover contiguous frame ranges; backward passes flip)."""
-        valid = min(size, n - c0)
-        if valid <= 0:
+    _QC_BATCH = 16
+
+    def _precompute_queries(self, frames: List[int]) -> None:
+        """Encode every not-yet-cached frame of the pass into the query
+        cache, in batched ascending contiguous runs (padded to
+        _QC_BATCH): ONE fused dispatch per run (gather + batch-B conv
+        towers + donated cache write) instead of B batch-1 encodes
+        inside the scan."""
+        todo = sorted(ti for ti in set(frames) if not self._qcached[ti])
+        if not todo:
             return
         self._qcache_alloc()
-        tis = frames[c0:c0 + valid]
-        ascending = tis[0] <= tis[-1]
-        start = tis[0] if ascending else tis[-1]
-        self._qcache = list(_qcache_write4(
-            *self._qcache, *queries, dev_i32(start),
-            valid=valid, flip=not ascending))
-        self._qcached[tis] = True
+        i = 0
+        while i < len(todo):
+            j = i + 1
+            while (j < len(todo) and j - i < self._QC_BATCH
+                   and todo[j] == todo[j - 1] + 1):
+                j += 1
+            tis = todo[i:j]
+            padded = tis + [tis[-1]] * (self._QC_BATCH - len(tis))
+            self._qcache = list(self.query_encode_write_fn(
+                self.prop_params, *self._qcache, self.images,
+                dev_i32_seq(tuple(padded)), dev_i32(tis[0]),
+                self._pad_mask, valid=len(tis)))
+            self._qcached[tis] = True
+            i = j
 
     def _time_coef(self, tc: int, tr: int, ti: int) -> jax.Array:
         nc = abs(tc - ti) / abs(tc - tr)

@@ -104,6 +104,17 @@ class PropagationNetwork(nn.Module):
         k16, v16 = self.kv_q_f16(f16)
         return f16, f8, f4, k16, v16
 
+    def get_query_values_batched(self, frames: jax.Array):
+        """frames: (B, H, W, 3) -> (f8, f4, k16, v16) query-cache
+        features for B frames at once. Query frames are independent, so
+        their conv towers run at batch B — far better MXU utilization
+        than B batch-1 calls inside the propagation scan (same math as
+        get_query_values; reference buffers these per frame,
+        prop_net.py:164-168)."""
+        f16, f8, f4 = self.rgb_encoder(frames)
+        k16, v16 = self.kv_q_f16(f16)
+        return f8, f4, k16, v16
+
     def segment_with_query(self, mem_k, mem_v, valid, f16, f8, f4, k16, v16):
         """Memory read + decode (reference: prop_net.py:164-181).
 

@@ -352,11 +352,29 @@ def test_time_bucketed_video_padding(setup):
         assert core._qcache[0].shape[0] == core.t_bucket
 
 
+def test_query_batch_encode_matches_single(setup):
+    """The batched query pre-encode (query_batch_fn) must reproduce the
+    in-scan batch-1 encoder up to conv batch-size rounding."""
+    prop, pp, _fuse, _fp, images = setup
+    core = InferenceCore(prop, pp, None, None, images, K,
+                         mem=MemoryConfig(top_k=10))
+    idx = jnp.asarray(np.arange(core._QC_BATCH) % core.t)
+    imgs = jnp.take(core.images, idx, axis=0)
+    batched = core.query_batch_fn(pp, imgs, core._pad_mask)
+    for ti in (0, 3, 7):
+        _f16, f8, f4, k16, v16 = core.query_fn(pp, core.get_image(ti))
+        for got, want in zip([q[ti] for q in batched], (f8, f4, k16, v16)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-4, rtol=1e-4)
+
+
 def test_long_multiround_chunked_cache_slices(setup):
-    """Longer video, 3 rounds: cached passes slice the query cache PER
-    CHUNK in both directions (the per-pass stacking this replaced OOMed
-    300-frame backward passes on 16 GB chips); results must match the
-    cache-off session exactly."""
+    """Longer video, 3 rounds, both directions: the cached (batched
+    pre-encode + in-scan gather) session must agree with the cache-off
+    session on every pixel the latter decides with a clear margin.
+    (Bitwise equality is not expected: batch-16 and batch-1 convs
+    round differently, and argmax flips compound on untrained
+    near-uniform outputs.)"""
     prop, pp, fuse, fp, _ = setup
     rng = np.random.RandomState(31)
     t = 40
@@ -364,13 +382,21 @@ def test_long_multiround_chunked_cache_slices(setup):
     masks = [make_interaction_mask(rng) for _ in range(3)]
     idxs = [0, t - 1, t // 2]
 
-    outs = []
+    outs, probs = [], []
     for kw in ({}, {"cache_queries": False}):
         core = InferenceCore(prop, pp, fuse, fp, images, K,
                              mem=MemoryConfig(top_k=10, mem_freq=5, **kw))
         outs.append([core.interact(m, idx=i).copy()
                      for m, i in zip(masks, idxs)])
+        probs.append(np.stack([np.asarray(core.get_prob(ti))
+                               for ti in range(t)]))
         if not kw:
             assert core._qcached[1:].all()
-    for a, b in zip(*outs):
-        np.testing.assert_array_equal(a, b)
+    srt = np.sort(probs[1], axis=1)
+    margin = (srt[:, -1] - srt[:, -2])[..., 0]
+    la = probs[0].argmax(1)[..., 0]
+    lb = probs[1].argmax(1)[..., 0]
+    sel = margin > 1e-3
+    assert sel.mean() > 0.15          # a meaningful share is confident
+    agree = (la[sel] == lb[sel]).mean()
+    assert agree > 0.9999, agree
