@@ -23,16 +23,16 @@ class MemoryConfig:
     mem_profile: int = 0
     # Device-resident query-feature cache for multi-round sessions (the
     # reference's q_buf, inference_core.py:96-104, rebuilt TPU-side):
-    # populated lazily from the second propagation pass onward so
-    # single-round sessions pay nothing; disabled when the video would
-    # exceed query_cache_bytes.
+    # frames are PRE-ENCODED in batched windows before each pass
+    # (batch-16 conv towers, core/inference.py::_precompute_queries)
+    # and the propagation scan gathers the cached features by index.
+    # Disabled when the video would exceed query_cache_bytes.
     cache_queries: bool = True
     query_cache_bytes: int = 3 << 30
-    # Emit query features into the cache from the FIRST pass (closes the
-    # round-2 re-encode gap: after round 1 every frame is cached, so all
-    # later passes run in 'cached' mode). Costs only the cache writes on
-    # single-round sessions; set False for the legacy lazy policy
-    # (emit from the second pass).
+    # Pre-encode from the FIRST pass (default): every pass, including
+    # round 1, runs the scan in 'cached' mode. Set False for the legacy
+    # lazy policy: round 1 encodes batch-1 inside the scan and the
+    # pre-encode happens before round 2's passes.
     qcache_eager: bool = True
 
     @property

@@ -130,26 +130,19 @@ def build_step_fns(prop_net: PropagationNetwork, fuse_net: Optional[FusionNet]):
             w = jax.nn.sigmoid(logits)
             return aggregate_wbg(w, keep_bg=True)
 
-    # Batched query pre-encode for the cache: B independent frames
-    # through the conv towers in one call (batch-1 convs inside the
-    # scan underuse the MXU; measured ~2.1s of a 4.0s 299-frame
-    # compute round is query encoding).
-    @jax.jit
-    def query_batch_fn(p, frames, pad_mask):
-        if frames.dtype == jnp.uint8:
-            frames = _normalize_frames_impl(frames) * pad_mask
-        f8, f4, k16, v16 = prop_net.apply(
-            p, frames, method="get_query_values_batched")
-        return tuple(x[:, None] for x in (f8, f4, k16, v16))
-
-    # Fused gather + batch-encode + cache-write: ONE dispatch per chunk
-    # (dispatch latency through the tunnel is on par with the encoder
-    # compute it schedules, so take/encode/write as separate calls eat
-    # the batching win).
-    @functools.partial(jax.jit, static_argnames=("valid",),
-                       donate_argnums=(1, 2, 3, 4))
+    # Fused gather + batch-encode + cache-write: ONE dispatch per
+    # window (dispatch latency through the tunnel is on par with the
+    # encoder compute it schedules, so take/encode/write as separate
+    # calls eat the batching win). Batch-B conv towers vs the scan's
+    # batch-1: measured ~2.1s of a 4.0s 299-frame compute round is
+    # query encoding. The window is always a FULL B consecutive frames
+    # starting at `start` (the caller aligns it, re-encoding up to B-1
+    # already-cached neighbours rather than specializing on a tail
+    # length — a static tail length would recompile the whole conv
+    # tower per distinct value), so one executable serves every pass.
+    @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4))
     def query_encode_write_fn(p, c0, c1, c2, c3, images_full, fidx,
-                              start, pad_mask, valid: int):
+                              start, pad_mask):
         frames = jnp.take(images_full, fidx, axis=0)
         if frames.dtype == jnp.uint8:
             frames = _normalize_frames_impl(frames) * pad_mask
@@ -158,7 +151,7 @@ def build_step_fns(prop_net: PropagationNetwork, fuse_net: Optional[FusionNet]):
 
         def upd(cache, q):
             return jax.lax.dynamic_update_slice(
-                cache, q[:valid, None], (start, 0, 0, 0, 0))
+                cache, q[:, None], (start, 0, 0, 0, 0))
 
         return tuple(upd(c, q) for c, q in zip((c0, c1, c2, c3), qs))
 
@@ -181,8 +174,7 @@ def build_step_fns(prop_net: PropagationNetwork, fuse_net: Optional[FusionNet]):
         return _pack_labels(lab, _label_bits(probs.shape[1]))
 
     return (query_fn, memorize_fn, propagate_step, fuse_step, argmax_fn,
-            argmax_batch_fn, argmax_pack_fn, query_batch_fn,
-            query_encode_write_fn)
+            argmax_batch_fn, argmax_pack_fn, query_encode_write_fn)
 
 
 @functools.lru_cache(maxsize=8)
@@ -315,8 +307,8 @@ class InferenceCore:
         self.mem = mem
         (self.query_fn, self.memorize_fn, self.propagate_step,
          self.fuse_step, self.argmax_fn, self.argmax_batch_fn,
-         self.argmax_pack_fn, self.query_batch_fn,
-         self.query_encode_write_fn) = build_step_fns(prop_net, fuse_net)
+         self.argmax_pack_fn, self.query_encode_write_fn) = \
+            build_step_fns(prop_net, fuse_net)
         self.scan_pass = build_scan_pass(prop_net, fuse_net)
 
         if images.dtype == np.uint8 and mem.mem_profile == 0:
@@ -598,15 +590,13 @@ class InferenceCore:
 
         # Query-cache mode: with qcache_eager (default) any pass over
         # uncached frames first PRE-ENCODES their query features in
-        # batched chunks (batch-B conv towers, query_batch_fn) and the
-        # scan then runs fully 'cached' — including round 1, whose
-        # in-scan batch-1 encodes this replaces. The legacy lazy policy
-        # (qcache_eager=False) keeps round 1 encode-in-scan at the cost
-        # of a round-2 pre-encode.
+        # batched windows (batch-B conv towers, query_encode_write_fn)
+        # and the scan then runs fully 'cached' — including round 1,
+        # whose in-scan batch-1 encodes this replaces. The legacy lazy
+        # policy (qcache_eager=False) keeps round 1 encode-in-scan at
+        # the cost of a round-2 pre-encode.
         if self._qcache_enabled and (self.mem.qcache_eager
-                                     or self._pass_count >= 1
-                                     or all(self._qcached[ti]
-                                            for ti in frames)):
+                                     or self._pass_count >= 1):
             # Pre-encode happens PER CHUNK inside the loop below, so
             # chunk i+1's batched encode pipelines behind chunk i's
             # scan and label download instead of serializing in front
@@ -682,26 +672,32 @@ class InferenceCore:
 
     def _precompute_queries(self, frames: List[int]) -> None:
         """Encode every not-yet-cached frame of the pass into the query
-        cache, in batched ascending contiguous runs (padded to
-        _QC_BATCH): ONE fused dispatch per run (gather + batch-B conv
-        towers + donated cache write) instead of B batch-1 encodes
-        inside the scan."""
+        cache: ONE fused dispatch per full-B window (gather + batch-B
+        conv towers + donated cache write) instead of B batch-1 encodes
+        inside the scan. Windows are always exactly B consecutive
+        frames — a short run is served by sliding its window left over
+        already-cached neighbours (their rows are rewritten with the
+        same deterministic batch-B values), so the executable never
+        specializes on a run length."""
         todo = sorted(ti for ti in set(frames) if not self._qcached[ti])
         if not todo:
             return
         self._qcache_alloc()
+        b = min(self._QC_BATCH, self.t_bucket)
         i = 0
         while i < len(todo):
             j = i + 1
-            while (j < len(todo) and j - i < self._QC_BATCH
+            while (j < len(todo) and j - i < b
                    and todo[j] == todo[j - 1] + 1):
                 j += 1
             tis = todo[i:j]
-            padded = tis + [tis[-1]] * (self._QC_BATCH - len(tis))
+            # Slide left just enough that the full-b window both covers
+            # the run and stays inside the bucket.
+            w0 = min(tis[0], self.t_bucket - b)
+            window = tuple(range(w0, w0 + b))
             self._qcache = list(self.query_encode_write_fn(
                 self.prop_params, *self._qcache, self.images,
-                dev_i32_seq(tuple(padded)), dev_i32(tis[0]),
-                self._pad_mask, valid=len(tis)))
+                dev_i32_seq(window), dev_i32(w0), self._pad_mask))
             self._qcached[tis] = True
             i = j
 

@@ -3,10 +3,11 @@
 300-frame synthetic 480p video, three interaction rounds, comparing the
 query-cache policies:
 
-  eager  (default): features emitted from the FIRST pass -> rounds 2+
-          run fully 'cached' (no re-encode)
-  lazy   (legacy):  emit from the second pass -> round 2 re-encodes
-  off    :          every pass re-encodes queries
+  eager  (default): batched pre-encode before every pass -> ALL rounds
+          run the scan in 'cached' mode
+  lazy   (legacy):  round 1 encodes batch-1 in-scan; pre-encode starts
+          at round 2
+  off    :          every pass re-encodes queries in-scan
 
 Reports per-round wall times (one JSON line). Timing through the tunnel:
 each round ends in the host label fetch inside interact(), which forces

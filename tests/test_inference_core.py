@@ -94,16 +94,27 @@ def test_no_retrace_across_interactions(setup):
     assert propagate_step._cache_size() == n_before
 
 
+def assert_labels_agree(a, b, min_agree=0.999):
+    """Label maps from program variants (batch-16 pre-encode vs batch-1
+    in-scan/loop encodes) may differ by conv batch-size rounding, which
+    flips argmax on near-tied pixels of untrained weights; anything
+    beyond that tiny rate is a real divergence."""
+    agree = (np.asarray(a) == np.asarray(b)).mean()
+    assert agree > min_agree, agree
+
+
 def test_host_offload_profile_matches_device(setup):
     """mem_profile host-offload is a space/time tradeoff, never an
-    accuracy one (reference inference_core.py docstring :22-29)."""
+    accuracy one (reference inference_core.py docstring :22-29).
+    Offloaded sessions disable the query cache (compute-in-scan), so
+    agreement is up to encoder batch rounding."""
     rng = np.random.RandomState(5)
     mask = make_interaction_mask(rng)
     core0 = fresh_core(setup, mem_profile=0)
     core2 = fresh_core(setup, mem_profile=3)
     out0 = core0.interact(mask, idx=3)
     out2 = core2.interact(mask, idx=3)
-    np.testing.assert_array_equal(out0, out2)
+    assert_labels_agree(out0, out2)
     assert isinstance(core2.prob[0], np.ndarray)  # results offloaded
 
 
@@ -126,7 +137,7 @@ def test_memory_bank_commits(setup):
                         idx=T - 1, step_cb=lambda: None)
     assert core2.bank.keys is not None
     assert core2.bank.cap * core2.n16 == core2.bank.keys.shape[1]
-    np.testing.assert_array_equal(m2, core.np_masks)
+    assert_labels_agree(m2, core.np_masks)
 
 
 def test_chunk_sizes_schedule(setup):
@@ -153,7 +164,7 @@ def test_various_pass_lengths_match_loop(setup):
         b = fresh_core(setup)
         ma = a.interact(mask, idx=idx).copy()
         mb = b.interact(mask, idx=idx, step_cb=lambda: None).copy()
-        np.testing.assert_array_equal(ma, mb)
+        assert_labels_agree(ma, mb)
 
 
 def test_fusion_scan_matches_loop(setup):
@@ -172,8 +183,12 @@ def test_fusion_scan_matches_loop(setup):
         outs.append(core.interact(m2, idx=T - 1, step_cb=cb).copy())
         probs.append(np.asarray(
             jnp.stack([core.get_prob(ti) for ti in range(T)])))
-    np.testing.assert_array_equal(outs[0], outs[1])
-    np.testing.assert_allclose(probs[0], probs[1], atol=2e-6)
+    # Banking the POST-fusion mask (the bug this guards) drifts probs
+    # at the 1e-1 scale on many pixels; encoder batch-size rounding
+    # between the scan (batch-16 pre-encode) and loop (batch-1) paths
+    # stays orders of magnitude below this tolerance.
+    assert_labels_agree(outs[0], outs[1], min_agree=0.995)
+    np.testing.assert_allclose(probs[0], probs[1], atol=1e-3)
 
 
 def test_query_cache_rounds_match_uncached(setup):
@@ -190,8 +205,9 @@ def test_query_cache_rounds_match_uncached(setup):
         outs.append([core.interact(m, idx=i).copy()
                      for m, i in zip(masks, idxs)])
         cores.append(core)
-    for a, b in zip(*outs):
-        np.testing.assert_array_equal(a, b)
+    for r, (a, b) in enumerate(zip(*outs)):
+        # divergence from encoder batch rounding compounds per round
+        assert_labels_agree(a, b, min_agree=[0.999, 0.995, 0.99][r])
     assert cores[0]._qcached.sum() > 0       # cache actually populated
     assert cores[1]._qcached.sum() == 0
     # third-round passes consumed the cache (all frames covered by then)
@@ -266,11 +282,11 @@ def test_memory_config_is_read_source_of_truth(setup):
 
 
 def test_qcache_eager_covers_video_after_round_one(setup):
-    """qcache_eager emits from the FIRST pass: after one interaction
-    every queryable frame is cached (the interacted frame itself is
-    never a query), so every later pass runs fully 'cached' — the
-    round-2 re-encode gap is closed — with results identical to the
-    lazy policy and to no cache at all."""
+    """qcache_eager pre-encodes before the FIRST pass: after one
+    interaction every queryable frame is cached (the interacted frame
+    itself is never a query), so every pass runs fully 'cached' — the
+    round-2 re-encode gap is closed — agreeing with the lazy policy
+    and with no cache up to encoder batch rounding."""
     rng = np.random.RandomState(29)
     masks = [make_interaction_mask(rng) for _ in range(3)]
     idxs = [0, T - 1, T // 2]
@@ -287,9 +303,10 @@ def test_qcache_eager_covers_video_after_round_one(setup):
                 assert core._qcached[1:].all()
         outs.append(round_outs)
         cores.append(core)
-    for a, b, c in zip(*outs):
-        np.testing.assert_array_equal(a, b)
-        np.testing.assert_array_equal(a, c)
+    for r, (a, b, c) in enumerate(zip(*outs)):
+        thr = [0.999, 0.995, 0.99][r]   # batch-rounding drift compounds
+        assert_labels_agree(a, b, min_agree=thr)
+        assert_labels_agree(a, c, min_agree=thr)
     # lazy: round 1's first (compute-mode) pass stays uncached
     assert not cores[1]._qcached.all()
 
@@ -353,17 +370,19 @@ def test_time_bucketed_video_padding(setup):
 
 
 def test_query_batch_encode_matches_single(setup):
-    """The batched query pre-encode (query_batch_fn) must reproduce the
-    in-scan batch-1 encoder up to conv batch-size rounding."""
+    """The batched pre-encode (get_query_values_batched, the path
+    query_encode_write_fn runs) must reproduce the batch-1 encoder up
+    to conv batch-size rounding."""
     prop, pp, _fuse, _fp, images = setup
     core = InferenceCore(prop, pp, None, None, images, K,
                          mem=MemoryConfig(top_k=10))
     idx = jnp.asarray(np.arange(core._QC_BATCH) % core.t)
     imgs = jnp.take(core.images, idx, axis=0)
-    batched = core.query_batch_fn(pp, imgs, core._pad_mask)
+    batched = prop.apply(pp, imgs, method="get_query_values_batched")
     for ti in (0, 3, 7):
         _f16, f8, f4, k16, v16 = core.query_fn(pp, core.get_image(ti))
-        for got, want in zip([q[ti] for q in batched], (f8, f4, k16, v16)):
+        for got, want in zip([q[ti][None] for q in batched],
+                             (f8, f4, k16, v16)):
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        atol=1e-4, rtol=1e-4)
 
