@@ -70,6 +70,16 @@ def test_propagate_videos_matches_serial(net):
         np.testing.assert_array_equal(got, want)
 
 
+def test_fleet_map_workers_per_device():
+    """workers_per_device > 1 adds lanes per chip; all items complete
+    and placement stays within the device set."""
+    devices = jax.local_devices()[:2]
+    got = fleet_map(lambda x: list(jnp.asarray(x * 2.0).devices())[0],
+                    [float(i) for i in range(5)], devices=devices,
+                    workers_per_device=2)
+    assert len(got) == 5 and set(got) <= set(devices)
+
+
 def test_fleet_map_propagates_errors():
     def boom(x):
         raise ValueError("nope")
