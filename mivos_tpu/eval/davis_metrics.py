@@ -112,7 +112,8 @@ def summarize_session(records: Dict[str, List[Tuple[float, float]]],
               for traj in records.values()]
     mean_curve = (np.mean(np.stack(curves), axis=0) if curves
                   else np.zeros_like(grid))
-    auc = float(np.trapezoid(mean_curve, grid) / max(max_time, 1e-9))
+    trapezoid = getattr(np, "trapezoid", None) or np.trapz  # numpy<2
+    auc = float(trapezoid(mean_curve, grid) / max(max_time, 1e-9))
     at = float(np.interp(metric_at, grid, mean_curve))
     return {"auc": auc, f"metric_at_{int(metric_at)}s": at,
             "curve": {"time": grid.tolist(),

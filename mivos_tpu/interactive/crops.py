@@ -66,6 +66,7 @@ class Crops:
         self.y_offsets: Optional[List[int]] = None
         self._counts: Optional[np.ndarray] = None
         self._image_hw: Optional[Tuple[int, int]] = None
+        self._iy = self._ix = None
 
     @property
     def offsets(self) -> List[Tuple[int, int]]:
@@ -84,33 +85,50 @@ class Crops:
         counts = np.zeros((h, w), np.float32)
         crops = []
         clicks_lists = []
+        iy, ix = [], []
+        grid_y, grid_x = np.mgrid[:self.crop_height, :self.crop_width]
         for dy, dx in self.offsets:
             counts[dy:dy + self.crop_height, dx:dx + self.crop_width] += 1
             crops.append(image[0, dy:dy + self.crop_height,
                                dx:dx + self.crop_width])
+            iy.append(grid_y + dy)
+            ix.append(grid_x + dx)
             clicks_lists.append([
                 Click(c.is_positive, (c.coords[0] - dy, c.coords[1] - dx))
                 for c in clicks])
         self._counts = counts
+        # Flat destination indices for the one-dispatch scatter paste.
+        self._iy = jnp.asarray(np.concatenate([a.ravel() for a in iy]))
+        self._ix = jnp.asarray(np.concatenate([a.ravel() for a in ix]))
         return jnp.stack(crops), clicks_lists
 
     def inv_transform(self, prob: jax.Array) -> jax.Array:
         """prob: (N, ch, cw, 1) per-crop probabilities (or (1, H, W, 1)
-        passthrough when the image was smaller than the window)."""
+        passthrough when the image was smaller than the window). ONE
+        jitted scatter-add over precomputed flat indices — per-crop
+        .at[].add() updates cost a dispatch + full-image copy each."""
         if self._counts is None:
             return prob
-        h, w = self._image_hw
-        out = jnp.zeros((1, h, w, 1), prob.dtype)
-        for i, (dy, dx) in enumerate(self.offsets):
-            out = out.at[0, dy:dy + self.crop_height,
-                         dx:dx + self.crop_width].add(prob[i])
-        return out / jnp.asarray(self._counts)[None, :, :, None]
+        return _paste(prob, self._iy, self._ix,
+                      jnp.asarray(self._counts))
 
     def get_state(self):
-        return self.x_offsets, self.y_offsets, self._counts, self._image_hw
+        return (self.x_offsets, self.y_offsets, self._counts,
+                self._image_hw, self._iy, self._ix)
 
     def set_state(self, state):
-        self.x_offsets, self.y_offsets, self._counts, self._image_hw = state
+        (self.x_offsets, self.y_offsets, self._counts, self._image_hw,
+         self._iy, self._ix) = state
+
+
+@jax.jit
+def _paste(prob: jax.Array, iy: jax.Array, ix: jax.Array,
+           counts: jax.Array) -> jax.Array:
+    """(N, ch, cw, C) crop probs -> (1, H, W, C) count-normalized sum."""
+    flat = prob.reshape(-1, prob.shape[-1])
+    out = jnp.zeros(counts.shape + (prob.shape[-1],), prob.dtype)
+    out = out.at[iy, ix].add(flat)
+    return (out / counts[..., None])[None]
 
 
 @functools.lru_cache(maxsize=4)
@@ -169,8 +187,17 @@ class TiledPredictor:
                                                    clicks)
         w = crops.shape[2]
         points = self._points_nd(clicks_lists)
+        # Mirror x for every REAL click — including out-of-crop ones
+        # whose shifted x is negative (their mirrored distance field
+        # must come from w-1-x, not a phantom click at the edge). Only
+        # the (-1,-1) padding sentinel (both coords negative) keeps its
+        # coordinates; a true click up-left of a crop shares that
+        # encoding and is dropped by the distance op in both halves —
+        # at crop distances its field is tanh-saturated ~constant, so
+        # the loss vs the reference is negligible.
+        is_click = (points[..., 0] >= 0) | (points[..., 1] >= 0)
         fpoints = points.at[..., 1].set(
-            jnp.where(points[..., 1] >= 0, w - 1 - points[..., 1], -1.0))
+            jnp.where(is_click, w - 1 - points[..., 1], points[..., 1]))
         batch = jnp.concatenate([crops, crops[:, :, ::-1]], axis=0)
         bpoints = jnp.concatenate([points, fpoints], axis=0)
         prob = self._forward(self.params, batch, bpoints)

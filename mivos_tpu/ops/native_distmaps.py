@@ -12,6 +12,7 @@ compiler is available.
 from __future__ import annotations
 
 import ctypes
+import math
 import subprocess
 import threading
 from os import path
@@ -64,9 +65,11 @@ def _fallback(points: np.ndarray, height: int, width: int,
     ys = np.arange(height, dtype=np.float32)
     xs = np.arange(width, dtype=np.float32)
     for i in range(n):
-        # Integer pixel origins, matching the reference Cython BFS and
-        # the native dense_sweep/multi_source_bfs paths.
-        py, px = round(float(points[i, 0])), round(float(points[i, 1]))
+        # Integer pixel origins, half-away-from-zero like the native
+        # paths' std::lround (Python round() is half-to-even and would
+        # put half-pixel clicks one pixel off the C++ result).
+        py = math.floor(float(points[i, 0]) + 0.5)
+        px = math.floor(float(points[i, 1]) + 0.5)
         if py < 0 or px < 0:
             continue
         layer = 1 if i >= n // 2 else 0

@@ -45,7 +45,8 @@ def main():
                 base = os.path.realpath(args.output)
                 for m in tf.getmembers():
                     dest = os.path.realpath(os.path.join(base, m.name))
-                    if not dest.startswith(base + os.sep):
+                    # allow '.' itself (tar -cf x ./dir archives)
+                    if dest != base and not dest.startswith(base + os.sep):
                         raise SystemExit(f"unsafe tar member: {m.name}")
                 tf.extractall(args.output)
         os.remove(tar_path)

@@ -151,3 +151,42 @@ class TestTiledPredictor:
         assert probs.shape == (80, 112)
         assert np.isfinite(np.asarray(probs)).all()
         assert len(ious) == 3 and len(clicks) == 3
+
+
+class TestFlipPointTransform:
+    def test_out_of_crop_click_mirrors_not_phantom(self, class_rng):
+        """A click left of a crop (shifted x < 0) must mirror to
+        w-1-x in the flipped half — rewriting it to x=-1 used to plant
+        a phantom VALID click at the crop edge. Padding sentinels
+        (both coords negative) must stay sentinels."""
+        net = FBRSDeepLabModel()
+        params = net.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 48, 64, 3)), jnp.zeros((1, 2, 2)))
+        pred = TiledPredictor(net, params, crop_size=(48, 64))
+        w = 64
+        pts = jnp.asarray(np.array([[[10.0, -20.0],    # real, left of crop
+                                     [-1.0, -1.0]]], np.float32))
+        is_click = (pts[..., 0] >= 0) | (pts[..., 1] >= 0)
+        fx = jnp.where(is_click, w - 1 - pts[..., 1], pts[..., 1])
+        fpts = np.asarray(pts.at[..., 1].set(fx))
+        assert fpts[0, 0, 1] == w - 1 - (-20.0)       # mirrored, valid
+        assert tuple(fpts[0, 1]) == (-1.0, -1.0)      # sentinel intact
+
+    def test_prediction_unaffected_by_far_click_edge(self, class_rng):
+        """End-to-end: with one in-crop positive click and one far
+        out-of-crop negative click, the tiled prediction must stay
+        finite and in [0, 1] (the phantom-click bug skewed the flipped
+        half's distance fields)."""
+        model = FBRSDeepLabModel()
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 48, 64, 3)),
+                            jnp.zeros((1, 2, 2)))
+        img = jnp.asarray(class_rng.rand(60, 128, 3).astype(np.float32))
+        clicker = Clicker()
+        clicker.add_click(Click(True, (30, 100)))
+        clicker.add_click(Click(False, (30, 5)))
+        tiled = TiledPredictor(model, params, crop_size=(48, 64))
+        tiled.set_input_image(img)
+        prob = np.asarray(tiled.get_prediction(clicker))
+        assert prob.shape == (60, 128)
+        assert np.isfinite(prob).all() and prob.min() >= 0 <= 1
