@@ -15,6 +15,10 @@ from PIL import Image
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="saves/propagation_model.pth")
+    p.add_argument("--model_npz", default=None,
+                   help="flax .npz weights (checkpoint/npz.py) instead of "
+                   "a converted torch .pth — e.g. the synthetic-pretrain "
+                   "artifact from scripts/pretrain_synthetic.py")
     p.add_argument("--dataset", choices=["DAVIS", "BL"], required=True)
     p.add_argument("--davis_root", default="../DAVIS/2017")
     p.add_argument("--bl_root", default="../BL30K")
@@ -42,8 +46,13 @@ def main():
 
     dtype = None if args.dtype == "float32" else args.dtype
     prop_net = PropagationNetwork(dtype=dtype)
-    prop_params = {"params": convert_prop_net(
-        load_torch_state_dict(args.model))}
+    if args.model_npz:
+        from mivos_tpu.checkpoint.npz import load_params_npz
+
+        prop_params = load_params_npz(args.model_npz)
+    else:
+        prop_params = {"params": convert_prop_net(
+            load_torch_state_dict(args.model))}
 
     for index in range(len(dataset)):
         data = dataset[index]

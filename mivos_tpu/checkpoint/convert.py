@@ -266,7 +266,23 @@ def detect_fbrs_model(sd: Mapping[str, np.ndarray]) -> Dict:
     'kind' ('deeplab' | 'hrnet')."""
     keys = sd.keys()
     if any(k.startswith("feature_extractor.backbone") for k in keys):
-        return {"kind": "deeplab"}
+        # Depth from the backbone parameter count (the reference's
+        # thresholds, utils.py:69-80; >531 extended to resnet152, which
+        # the reference constructs but cannot auto-detect).
+        n_bb = len([k for k in keys
+                    if k.startswith("feature_extractor.backbone")
+                    and "num_batches_tracked" not in k])
+        if n_bb <= 181:
+            arch = "resnet34"
+        elif n_bb <= 276:
+            arch = "resnet50"
+        elif n_bb <= 531:
+            arch = "resnet101"
+        else:
+            arch = "resnet152"
+        # deeplab_ch from the ASPP projection width (utils.py:85-88).
+        ch = int(sd["feature_extractor.aspp.project.0.weight"].shape[0])
+        return {"kind": "deeplab", "backbone": arch, "ch": ch}
     if any(".stage2." in k or k.startswith("feature_extractor.stage2")
            for k in keys):
         width = int(sd["feature_extractor.transition1.0.0.weight"].shape[0])

@@ -34,6 +34,16 @@ class MemoryConfig:
     # lazy policy: round 1 encodes batch-1 inside the scan and the
     # pre-encode happens before round 2's passes.
     qcache_eager: bool = True
+    # Bank sharding — the sequence-parallel path for banks beyond one
+    # chip's HBM (SURVEY.md section 5.7; the reference is single-device,
+    # inference_core.py:36). When True the session shards the memory
+    # bank's position axis over `bank_axis` of the Mesh passed to
+    # InferenceCore(mesh=...): reads run as an exact O(query)-
+    # communication shard_map (parallel/sharded_memory.py) and per-slot
+    # writes are collective-free masked local updates. Requires
+    # mem_profile == 0 (device-resident scan path).
+    bank_sharded: bool = False
+    bank_axis: str = "data"
 
     @property
     def query_buf_size(self) -> int:

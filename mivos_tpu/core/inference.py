@@ -110,8 +110,18 @@ def build_step_fns(prop_net: PropagationNetwork, fuse_net: Optional[FusionNet]):
                              method="segment_with_query")
         agg = aggregate_wbg(out, keep_bg=True)  # (K+1, H, W, 1)
         mk, mv = prop_net.apply(p, image, agg[1:], method="memorize")
-        bank_k = jax.lax.dynamic_update_slice(bank_k, mk, (0, write_row, 0))
-        bank_v = jax.lax.dynamic_update_slice(bank_v, mv, (0, write_row, 0))
+        if prop_net.bank_mesh is not None:
+            from mivos_tpu.parallel.sharded_memory import sharded_bank_write
+
+            bank_k = sharded_bank_write(prop_net.bank_mesh, bank_k, mk,
+                                        write_row, prop_net.bank_axis)
+            bank_v = sharded_bank_write(prop_net.bank_mesh, bank_v, mv,
+                                        write_row, prop_net.bank_axis)
+        else:
+            bank_k = jax.lax.dynamic_update_slice(bank_k, mk,
+                                                  (0, write_row, 0))
+            bank_v = jax.lax.dynamic_update_slice(bank_v, mv,
+                                                  (0, write_row, 0))
         return agg, bank_k, bank_v
 
     fuse_step = None
@@ -232,8 +242,16 @@ def build_scan_pass(prop_net: PropagationNetwork,
         # memorizes inside the step; fusion is applied after). Fusion only
         # affects the emitted probabilities, never the bank contents.
         mk, mv = prop_net.apply(params, image, agg[1:], method="memorize")
-        bank_k = jax.lax.dynamic_update_slice(bank_k, mk, (0, wrow, 0))
-        bank_v = jax.lax.dynamic_update_slice(bank_v, mv, (0, wrow, 0))
+        if prop_net.bank_mesh is not None:
+            from mivos_tpu.parallel.sharded_memory import sharded_bank_write
+
+            bank_k = sharded_bank_write(prop_net.bank_mesh, bank_k, mk,
+                                        wrow, prop_net.bank_axis)
+            bank_v = sharded_bank_write(prop_net.bank_mesh, bank_v, mv,
+                                        wrow, prop_net.bank_axis)
+        else:
+            bank_k = jax.lax.dynamic_update_slice(bank_k, mk, (0, wrow, 0))
+            bank_v = jax.lax.dynamic_update_slice(bank_v, mv, (0, wrow, 0))
         if do_fuse:
             k = agg.shape[0] - 1
             attn = prop_net.apply(params, key_k, pos_diff, neg_diff, k16,
@@ -290,13 +308,28 @@ class InferenceCore:
     def __init__(self, prop_net: PropagationNetwork, prop_params,
                  fuse_net: Optional[FusionNet], fuse_params,
                  images, num_objects: int,
-                 mem: MemoryConfig = MemoryConfig()):
+                 mem: MemoryConfig = MemoryConfig(), mesh=None):
+        """mesh: jax.sharding.Mesh, required when mem.bank_sharded — the
+        session then keeps the memory bank's position axis sharded over
+        mem.bank_axis (exact sequence-parallel reads; SURVEY.md §5.7)."""
         # MemoryConfig is the single source of truth for the read knobs:
         # top_k and km on the network are cloned to match, so callers
         # configure the memory read in exactly one place (the params are
         # read-time-only attributes — cloning never touches weights).
-        if (mem.top_k, mem.km) != (prop_net.top_k, prop_net.km):
-            prop_net = prop_net.clone(top_k=mem.top_k, km=mem.km)
+        if mem.bank_sharded:
+            if mesh is None:
+                raise ValueError("bank_sharded=True requires a mesh")
+            if mem.mem_profile != 0:
+                raise ValueError("bank_sharded requires mem_profile=0 "
+                                 "(device-resident scan path)")
+        bank_mesh = mesh if mem.bank_sharded else None
+        desired = (mem.top_k, mem.km, bank_mesh,
+                   mem.bank_axis if mem.bank_sharded else prop_net.bank_axis)
+        if desired != (prop_net.top_k, prop_net.km, prop_net.bank_mesh,
+                       prop_net.bank_axis):
+            prop_net = prop_net.clone(top_k=mem.top_k, km=mem.km,
+                                      bank_mesh=bank_mesh,
+                                      bank_axis=desired[3])
         if prop_net.dtype == "bfloat16":
             prop_params = cast_params_bf16(prop_params)
             if fuse_params is not None and fuse_net is not None and \
@@ -394,9 +427,17 @@ class InferenceCore:
         # halve the memory-read HBM traffic; memorize emits that dtype).
         bank_dtype = jnp.bfloat16 if prop_net.dtype == "bfloat16" \
             else jnp.float32
+        if mem.bank_sharded:
+            from mivos_tpu.parallel.sharded_memory import bank_sharding
+
+            bank_sh = bank_sharding(mesh, mem.bank_axis)
+            min_cap = mesh.shape[mem.bank_axis]
+        else:
+            bank_sh, min_cap = None, 1
         self.bank = MemoryBank(self.k, self.n16,
                                cap_frames=mem.bank_cap_frames,
-                               dtype=bank_dtype)
+                               dtype=bank_dtype, sharding=bank_sh,
+                               min_cap=min_cap)
 
     # ----- buffered getters (reference inference_core.py:96-120) -----
 

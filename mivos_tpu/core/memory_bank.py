@@ -32,11 +32,18 @@ class MemoryBank:
     """Host-managed device memory bank for one propagation pass."""
 
     def __init__(self, k: int, n: int, key_dim: int = 128, val_dim: int = 512,
-                 cap_frames: int = 512, dtype=jnp.float32):
+                 cap_frames: int = 512, dtype=jnp.float32, sharding=None,
+                 min_cap: int = 1):
         self.k, self.n = k, n
         self.key_dim, self.val_dim = key_dim, val_dim
         self.buckets = memory_buckets(cap_frames)
         self.dtype = dtype
+        # Distributed bank: a NamedSharding over the position (row) axis
+        # (parallel/sharded_memory.bank_sharding). min_cap (the mesh
+        # axis size) keeps whole slots per shard so scan writes stay
+        # collective-free masked local updates.
+        self.sharding = sharding
+        self.min_cap = min_cap
         self.cap = 0
         self.num_slots = 0  # committed (valid) slots
         self.keys: Optional[jax.Array] = None
@@ -48,7 +55,8 @@ class MemoryBank:
         """Allocate for a pass needing up to total_slots committed slots
         (+1 transient), optionally seeding the first slots from
         (K, s*n, C) certain-memory arrays."""
-        cap = next_bucket(total_slots + 1, self.buckets)
+        cap = next_bucket(max(total_slots + 1, self.min_cap), self.buckets)
+        assert cap % self.min_cap == 0, (cap, self.min_cap)
         self.cap = cap
         self.keys = jnp.zeros((self.k, cap * self.n, self.key_dim), self.dtype)
         self.values = jnp.zeros((self.k, cap * self.n, self.val_dim), self.dtype)
@@ -60,6 +68,9 @@ class MemoryBank:
             self.values = jax.lax.dynamic_update_slice(
                 self.values, init_v.astype(self.dtype), (0, 0, 0))
             self.num_slots = s
+        if self.sharding is not None:
+            self.keys = jax.device_put(self.keys, self.sharding)
+            self.values = jax.device_put(self.values, self.sharding)
 
     def write(self, slot: int, mk: jax.Array, mv: jax.Array) -> None:
         """Write one frame's keys/values (K, n, C) into `slot` (may be the

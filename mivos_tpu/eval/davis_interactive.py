@@ -136,8 +136,14 @@ def run_local_interactive(prop_net, prop_params, fuse_net, fuse_params,
             sess.submit_masks(pred_masks, next_frames)
             if save_mask and out_path:
                 _save_masks(out_path, rnd, name, pred_masks)
-    return sess.get_global_summary(
+    summary = sess.get_global_summary(
         save_file=path.join(out_path, "summary.json") if out_path else None)
+    # Raw per-sequence (cumulative_algo_seconds, J&F) trajectories — the
+    # summary curve is a resampled grid; benchmarking scripts need the
+    # actual per-round timings (reference budget: 240 s/sequence,
+    # eval_interactive_davis.py:74).
+    summary["records"] = sess.get_report()
+    return summary
 
 
 def run_local_interactive_davis(prop_net, prop_params, fuse_net,

@@ -16,7 +16,8 @@ def build_fbrs_from_state_dict(sd):
 
     info = detect_fbrs_model(sd)
     if info["kind"] == "deeplab":
-        return FBRSDeepLabModel(), convert_fbrs(sd)
+        net = FBRSDeepLabModel(arch=info["backbone"], ch=info["ch"])
+        return net, convert_fbrs(sd)
     net = FBRSHRNetModel(width=info["width"], ocr_width=info["ocr_width"],
                          small=info["small"])
     return net, convert_fbrs_hrnet(sd)

@@ -50,6 +50,33 @@ class V1bBottleneck(nn.Module):
         return nn.relu(out + res)
 
 
+class V1bBasicBlock(nn.Module):
+    """BasicBlockV1b (resnetv1b.py:6-39): conv1 carries the per-block
+    dilation, conv2 always runs at the stage's `previous_dilation`."""
+
+    planes: int
+    stride: int = 1
+    dil1: int = 1
+    dil2: int = 1
+    has_downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        out = conv3x3(self.planes, stride=self.stride, dilation=self.dil1,
+                      use_bias=False, name="conv1")(x)
+        out = nn.relu(FrozenBatchNorm(self.planes, name="bn1")(out))
+        out = conv3x3(self.planes, dilation=self.dil2, use_bias=False,
+                      name="conv2")(out)
+        out = FrozenBatchNorm(self.planes, name="bn2")(out)
+        if self.has_downsample:
+            res = conv1x1(self.planes, stride=self.stride, use_bias=False,
+                          name="downsample_conv")(x)
+            res = FrozenBatchNorm(self.planes, name="downsample_bn")(res)
+        else:
+            res = x
+        return nn.relu(out + res)
+
+
 class V1bStage(nn.Module):
     """resnetv1b _make_layer (resnetv1b.py:154-197): with dilation d>1 the
     stage keeps stride (=1 at call sites), first block runs at d//2
@@ -59,40 +86,80 @@ class V1bStage(nn.Module):
     blocks: int
     stride: int = 1
     dilation: int = 1
+    block: str = "bottleneck"   # 'bottleneck' (50/101/152) | 'basic' (34)
 
     @nn.compact
     def __call__(self, x):
         first_dil = {1: 1, 2: 1, 4: 2}[self.dilation]
-        needs_ds = self.stride != 1 or x.shape[-1] != self.planes * 4
-        x = V1bBottleneck(self.planes, stride=self.stride, dilation=first_dil,
-                          has_downsample=needs_ds, name="block0")(x)
-        for i in range(1, self.blocks):
-            x = V1bBottleneck(self.planes, dilation=self.dilation,
-                              name=f"block{i}")(x)
+        if self.block == "bottleneck":
+            needs_ds = self.stride != 1 or x.shape[-1] != self.planes * 4
+            x = V1bBottleneck(self.planes, stride=self.stride,
+                              dilation=first_dil, has_downsample=needs_ds,
+                              name="block0")(x)
+            for i in range(1, self.blocks):
+                x = V1bBottleneck(self.planes, dilation=self.dilation,
+                                  name=f"block{i}")(x)
+        else:
+            needs_ds = self.stride != 1 or x.shape[-1] != self.planes
+            x = V1bBasicBlock(self.planes, stride=self.stride,
+                              dil1=first_dil, dil2=self.dilation,
+                              has_downsample=needs_ds, name="block0")(x)
+            for i in range(1, self.blocks):
+                x = V1bBasicBlock(self.planes, dil1=self.dilation,
+                                  dil2=self.dilation, name=f"block{i}")(x)
         return x
 
 
-class ResNet50V1s(nn.Module):
-    """Deep-stem dilated resnet50_v1s backbone -> (c1, c2, c3, c4) at
-    strides 4/8/8/8 (resnetv1b.py:228-233 with dilated=True)."""
+# Reference backbone family (resnetv1b.py:227-266): arch -> stage plan.
+RESNETV1B_ARCHS = {
+    "resnet34": dict(layers=(3, 4, 6, 3), block="basic", deep_stem=False),
+    "resnet50": dict(layers=(3, 4, 6, 3), block="bottleneck", deep_stem=True),
+    "resnet101": dict(layers=(3, 4, 23, 3), block="bottleneck",
+                      deep_stem=True),
+    "resnet152": dict(layers=(3, 8, 36, 3), block="bottleneck",
+                      deep_stem=True),
+}
 
+
+class ResNetV1b(nn.Module):
+    """Dilated ResNetV1b backbone family -> (c1, c2, c3, c4) at strides
+    4/8/8/8 (resnetv1b.py:85-214 with dilated=True): deep-stem
+    bottleneck v1s variants (resnet50/101/152_v1s, :240-266) and the
+    plain-stem basic-block resnet34_v1b (:227-237)."""
+
+    layers: Tuple[int, int, int, int] = (3, 4, 6, 3)
+    block: str = "bottleneck"
+    deep_stem: bool = True
     stem_width: int = 64
 
     @nn.compact
     def __call__(self, x) -> Tuple[jax.Array, ...]:
         sw = self.stem_width
-        x = conv3x3(sw, stride=2, use_bias=False, name="stem0")(x)
-        x = nn.relu(FrozenBatchNorm(sw, name="stem_bn0")(x))
-        x = conv3x3(sw, use_bias=False, name="stem1")(x)
-        x = nn.relu(FrozenBatchNorm(sw, name="stem_bn1")(x))
-        x = conv3x3(2 * sw, use_bias=False, name="stem2")(x)
-        x = nn.relu(FrozenBatchNorm(2 * sw, name="bn1")(x))
+        if self.deep_stem:
+            x = conv3x3(sw, stride=2, use_bias=False, name="stem0")(x)
+            x = nn.relu(FrozenBatchNorm(sw, name="stem_bn0")(x))
+            x = conv3x3(sw, use_bias=False, name="stem1")(x)
+            x = nn.relu(FrozenBatchNorm(sw, name="stem_bn1")(x))
+            x = conv3x3(2 * sw, use_bias=False, name="stem2")(x)
+            x = nn.relu(FrozenBatchNorm(2 * sw, name="bn1")(x))
+        else:
+            x = nn.Conv(64, (7, 7), strides=2, padding=((3, 3), (3, 3)),
+                        use_bias=False, name="conv1")(x)
+            x = nn.relu(FrozenBatchNorm(64, name="bn1")(x))
         x = max_pool_3x3_s2(x)
-        c1 = V1bStage(64, 3, name="layer1")(x)
-        c2 = V1bStage(128, 4, stride=2, name="layer2")(c1)
-        c3 = V1bStage(256, 6, stride=1, dilation=2, name="layer3")(c2)
-        c4 = V1bStage(512, 3, stride=1, dilation=4, name="layer4")(c3)
+        blk = self.block
+        c1 = V1bStage(64, self.layers[0], block=blk, name="layer1")(x)
+        c2 = V1bStage(128, self.layers[1], stride=2, block=blk,
+                      name="layer2")(c1)
+        c3 = V1bStage(256, self.layers[2], stride=1, dilation=2, block=blk,
+                      name="layer3")(c2)
+        c4 = V1bStage(512, self.layers[3], stride=1, dilation=4, block=blk,
+                      name="layer4")(c3)
         return c1, c2, c3, c4
+
+
+class ResNet50V1s(ResNetV1b):
+    """Back-compat alias: the resnet50_v1s default configuration."""
 
 
 class SeparableConvBNReLU(nn.Module):
@@ -142,8 +209,13 @@ class FBRSASPP(nn.Module):
 class FBRSDeepLabModel(nn.Module):
     """DistMapsModel (is_deeplab_model.py:30-66) exposed as three jit
     targets: full forward, cached head-input, and the small differentiable
-    head replay that f-BRS-B optimizes through."""
+    head replay that f-BRS-B optimizes through.
 
+    `arch` selects the ResNetV1b backbone depth (reference get_deeplab_model
+    backbone kwarg, is_deeplab_model.py:9-13); `ch` is deeplab_ch (the 34
+    checkpoints ship ch=128, 50/101 ship 256 — utils.py:85-88)."""
+
+    arch: str = "resnet50"
     ch: int = 256
     norm_radius: float = 260.0
 
@@ -151,7 +223,7 @@ class FBRSDeepLabModel(nn.Module):
         self.rgb_conv_0 = conv1x1(8, name="rgb_conv_0")
         self.rgb_conv_bn = FrozenBatchNorm(8, name="rgb_conv_bn")
         self.rgb_conv_1 = conv1x1(3, name="rgb_conv_1")
-        self.backbone = ResNet50V1s(name="backbone")
+        self.backbone = ResNetV1b(**RESNETV1B_ARCHS[self.arch])
         self.skip_project_conv = conv1x1(32, use_bias=False,
                                          name="skip_project_conv")
         self.skip_project_bn = FrozenBatchNorm(32, name="skip_project_bn")

@@ -67,6 +67,14 @@ class PropagationNetwork(nn.Module):
     # inference; params and the affinity softmax stay fp32). The memory
     # bank inherits this dtype, halving its HBM traffic.
     dtype: Optional[str] = None
+    # Distributed bank (SURVEY.md section 5.7): when set, mem_k/mem_v
+    # arrive with their position axis sharded over `bank_axis` of this
+    # mesh and the read runs as the exact O(query)-communication
+    # shard_map (parallel/sharded_memory.py) instead of `read_backend`.
+    # Static module attributes: jax.sharding.Mesh is hashable, so jitted
+    # step caches stay keyed per configuration.
+    bank_mesh: Optional[object] = None
+    bank_axis: str = "data"
 
     def setup(self):
         # 5-channel (RGB + this mask + others mask) memory encoder; the
@@ -122,12 +130,30 @@ class PropagationNetwork(nn.Module):
         k16/v16/f8/f4: batch-1 query tensors from get_query_values.
         Returns (K, H, W, 1) per-object sigmoid probabilities.
         """
+        return jax.nn.sigmoid(self.segment_logits(mem_k, mem_v, valid, f16,
+                                                  f8, f4, k16, v16))
+
+    def segment_logits(self, mem_k, mem_v, valid, f16, f8, f4, k16, v16):
+        """segment_with_query before the sigmoid — the numerically-stable
+        target for training losses (synthetic pretraining, train/pretrain.py;
+        the reference trains its propagation net in a sibling repo)."""
         k = mem_k.shape[0]
         _, h16, w16, _ = k16.shape
         qk = k16.reshape(h16 * w16, KEY_DIM)
-        readout = _memory_read(mem_k, mem_v, qk, top_k=self.top_k,
-                                 valid=valid, km=self.km, query_hw=(h16, w16),
-                                 backend=self.read_backend)
+        if self.bank_mesh is not None:
+            from mivos_tpu.parallel.sharded_memory import sharded_memory_read
+
+            assert self.km is None, "km unsupported with a sharded bank"
+            readout = sharded_memory_read(
+                self.bank_mesh, mem_k, mem_v, qk,
+                top_k=self.top_k if self.top_k is not None
+                else mem_k.shape[1],
+                valid=valid, axis=self.bank_axis)
+        else:
+            readout = _memory_read(mem_k, mem_v, qk, top_k=self.top_k,
+                                   valid=valid, km=self.km,
+                                   query_hw=(h16, w16),
+                                   backend=self.read_backend)
         readout = readout.reshape(k, h16, w16, VAL_DIM)
         qv = jnp.broadcast_to(v16, (k,) + v16.shape[1:])
         m4 = jnp.concatenate([readout, qv], axis=-1)  # (K, h16, w16, 1024)
@@ -136,8 +162,7 @@ class PropagationNetwork(nn.Module):
         # residual add (the reference recomputes them per object via its
         # batched=1 loop, prop_net.py:172-176 — ~2x decoder FLOPs saved
         # at K=3).
-        logits = self.decoder(m4, f8, f4)
-        return jax.nn.sigmoid(logits)
+        return self.decoder(m4, f8, f4)
 
     def get_attention(self, mk16, pos_mask, neg_mask, qk16):
         """Difference-aware attention read (reference: prop_net.py:183-200).

@@ -80,3 +80,41 @@ def shard_bank(mesh: Mesh, mem_k: jax.Array, mem_v: jax.Array,
     """Place a bank with its position axis sharded over `axis`."""
     sh = NamedSharding(mesh, P(None, axis, None))
     return jax.device_put(mem_k, sh), jax.device_put(mem_v, sh)
+
+
+def bank_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """The (K, M, C) position-axis sharding of a distributed bank."""
+    return NamedSharding(mesh, P(None, axis, None))
+
+
+def sharded_bank_write(mesh: Mesh, bank: jax.Array, data: jax.Array,
+                       row, axis: str = "data") -> jax.Array:
+    """Write one frame's (K, n, C) rows at global row offset `row` into a
+    position-sharded (K, M, C) bank WITHOUT gathering it.
+
+    Exactly one shard owns the write (the session keeps whole slots per
+    shard: bank capacity a multiple of the axis size, rows a multiple of
+    the per-frame token count n), so each device does a masked local
+    dynamic-update-slice — zero communication, unlike letting GSPMD
+    partition a global dynamic_update_slice on the sharded axis (which
+    gathers). `row` may be a traced scalar (the scan's per-step write
+    schedule)."""
+    d = mesh.shape[axis]
+    k, m, c = bank.shape
+    local_m = m // d
+    n = data.shape[1]
+    assert m % d == 0 and local_m >= n, (m, d, n)
+
+    def local(bk, dat, r):
+        base = jax.lax.axis_index(axis) * local_m
+        loc = r - base
+        owns = (loc >= 0) & (loc + n <= local_m)
+        lc = jnp.clip(loc, 0, local_m - n)
+        old = jax.lax.dynamic_slice(bk, (0, lc, 0), (k, n, c))
+        mixed = jnp.where(owns, dat.astype(bk.dtype), old)
+        return jax.lax.dynamic_update_slice(bk, mixed, (0, lc, 0))
+
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(P(None, axis, None), P(), P()),
+                       out_specs=P(None, axis, None))
+    return fn(bank, data, jnp.asarray(row, jnp.int32))

@@ -1,0 +1,151 @@
+"""Synthetic pretraining of the propagation and S2M networks.
+
+The reference ships trained checkpoints (download_model.py) and trains
+propagation in a sibling repo; this sandbox has neither the data nor
+the weights, so the accuracy proxy chain needs weights whose
+predictions are PEAKED (untrained weights leave most pixels near-tied,
+which is exactly where fast-vs-exact label comparisons are least
+informative — see PERF.md "accuracy envelope"). These trainers fit the
+nets on generation/synthetic.py moving-blob video until masks are
+confident; the artifacts feed scripts/accuracy_envelope.py and
+scripts/full_protocol_tpu.py.
+
+Gradients flow through the exact top-k memory read (jax.lax.top_k has
+a subgradient); the fused Pallas read is inference-only, so training
+nets must use read_backend='xla_exact'.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mivos_tpu.data.transforms import im_normalize
+from mivos_tpu.generation.synthetic import prop_example, s2m_example
+from mivos_tpu.models.propagation import PropagationNetwork
+from mivos_tpu.models.s2m import S2MNetwork
+
+
+def _bce_logits(logits: jax.Array, y: jax.Array) -> jax.Array:
+    return optax.sigmoid_binary_cross_entropy(logits, y).mean()
+
+
+def _soft_iou(p: jax.Array, y: jax.Array) -> jax.Array:
+    hard = (p > 0.5).astype(jnp.float32)
+    i = jnp.sum(hard * y, axis=(1, 2, 3))
+    u = jnp.sum(jnp.maximum(hard, y), axis=(1, 2, 3))
+    return jnp.mean((i + 1.0) / (u + 1.0))
+
+
+class PropPretrainer:
+    """Adam on memorize -> top-k read -> decode, one (ref, query) pair
+    per step (the core STM training signal; the reference's full recipe
+    with BL30K/DAVIS stages lives in its sibling training repo)."""
+
+    def __init__(self, net: Optional[PropagationNetwork] = None,
+                 params: Optional[Dict] = None, lr: float = 2e-4,
+                 hw: Tuple[int, int] = (192, 192), num_objects: int = 2,
+                 seed: int = 0):
+        self.net = net or PropagationNetwork(top_k=50,
+                                             read_backend="xla_exact")
+        assert self.net.read_backend == "xla_exact", (
+            "training must differentiate through the exact top-k read")
+        self.hw, self.k = hw, num_objects
+        h, w = hw
+        if params is None:
+            f0 = jnp.zeros((h, w, 3))
+            params = self.net.init(jax.random.PRNGKey(seed), f0,
+                                   jnp.zeros((num_objects, h, w, 1)), f0)
+        self.params = params
+        self.tx = optax.chain(optax.clip_by_global_norm(1.0),
+                              optax.adam(lr))
+        self.opt_state = self.tx.init(self.params)
+
+        net_ref = self.net
+
+        def loss_fn(p, ref_img, ref_masks, q_img, q_gt):
+            mem_k, mem_v = net_ref.apply(p, ref_img, ref_masks,
+                                         method="memorize")
+            valid = jnp.ones((mem_k.shape[1],), bool)
+            f16, f8, f4, k16, v16 = net_ref.apply(
+                p, q_img, method="get_query_values")
+            # Loss on LOGITS (segment_logits): BCE from the sigmoid
+            # output saturates in fp32 and its clip zeroes gradients.
+            logits = net_ref.apply(p, mem_k, mem_v, valid, f16, f8, f4,
+                                   k16, v16, method="segment_logits")
+            return (_bce_logits(logits, q_gt),
+                    _soft_iou(jax.nn.sigmoid(logits), q_gt))
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(p, opt_state, ref_img, ref_masks, q_img, q_gt):
+            (loss, iou), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p, ref_img, ref_masks, q_img, q_gt)
+            updates, opt_state = self.tx.update(grads, opt_state, p)
+            return optax.apply_updates(p, updates), opt_state, loss, iou
+
+        self._step = step
+
+    def make_batch(self, seed: int):
+        h, w = self.hw
+        # Gaps 1-5: session propagation is frame-to-frame with mem_freq 5
+        # commits, so the read rarely spans a larger temporal gap.
+        ref, rm, q, qm = prop_example(seed, t_gap=np.random.RandomState(
+            seed).randint(1, 6), h=h, w=w, num_objects=self.k)
+        return (im_normalize(ref), rm, im_normalize(q), qm)
+
+    def step(self, seed: int) -> Tuple[float, float]:
+        batch = self.make_batch(seed)
+        self.params, self.opt_state, loss, iou = self._step(
+            self.params, self.opt_state, *batch)
+        return float(loss), float(iou)
+
+
+class S2MPretrainer:
+    """Adam on the 6-channel scribble-to-mask DeepLabV3+
+    (reference model/s2m/s2m_network.py:56-64 input contract)."""
+
+    def __init__(self, net: Optional[S2MNetwork] = None,
+                 params: Optional[Dict] = None, lr: float = 2e-4,
+                 hw: Tuple[int, int] = (192, 192), num_objects: int = 2,
+                 seed: int = 0):
+        self.net = net or S2MNetwork()
+        self.hw, self.k = hw, num_objects
+        h, w = hw
+        if params is None:
+            params = self.net.init(jax.random.PRNGKey(seed + 1),
+                                   jnp.zeros((num_objects, h, w, 6)))
+        self.params = params
+        self.tx = optax.chain(optax.clip_by_global_norm(1.0),
+                              optax.adam(lr))
+        self.opt_state = self.tx.init(self.params)
+        net_ref = self.net
+
+        def loss_fn(p, x, gt):
+            logits = net_ref.apply(p, x)
+            return (_bce_logits(logits, gt),
+                    _soft_iou(jax.nn.sigmoid(logits), gt))
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(p, opt_state, x, gt):
+            (loss, iou), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p, x, gt)
+            updates, opt_state = self.tx.update(grads, opt_state, p)
+            return optax.apply_updates(p, updates), opt_state, loss, iou
+
+        self._step = step
+
+    def make_batch(self, seed: int):
+        h, w = self.hw
+        x, gt, _ = s2m_example(seed, h, w, self.k)
+        x = np.concatenate([im_normalize(x[..., :3]), x[..., 3:]], axis=-1)
+        return x, gt
+
+    def step(self, seed: int) -> Tuple[float, float]:
+        x, gt = self.make_batch(seed)
+        self.params, self.opt_state, loss, iou = self._step(
+            self.params, self.opt_state, x, gt)
+        return float(loss), float(iou)

@@ -20,10 +20,10 @@ DAVIS = {
 
 
 def fetch_and_extract(gid: str, out: str) -> None:
-    import gdown
-
     os.makedirs(os.path.dirname(out), exist_ok=True)
     if not os.path.exists(out):
+        import gdown  # gated: only the download needs it
+
         gdown.download(id=gid, output=out, quiet=False)
     with zipfile.ZipFile(out) as zf:
         # Refuse path-traversal members from a compromised mirror.

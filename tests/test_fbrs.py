@@ -101,6 +101,59 @@ def flax_fbrs(ref_fbrs):
     return net, params
 
 
+class TestBackboneVariants:
+    """ResNetV1b depth/width family (reference resnetv1b.py:227-266) +
+    state-dict auto-detection (reference utils.py:67-88)."""
+
+    @pytest.mark.parametrize("backbone,ch", [("resnet34", 128),
+                                             ("resnet101", 256)])
+    def test_forward_parity_and_detection(self, rng, backbone, ch):
+        from fbrs.model.is_deeplab_model import get_deeplab_model
+
+        ref = get_deeplab_model(backbone=backbone, deeplab_ch=ch,
+                                norm_radius=26).eval()
+        randomize_(ref, seed=17)
+        sd = to_numpy_sd(ref)
+
+        info = C.detect_fbrs_model(sd)
+        assert info == {"kind": "deeplab", "backbone": backbone, "ch": ch}
+
+        from mivos_tpu.models import build_fbrs_from_state_dict
+
+        auto_net, params = build_fbrs_from_state_dict(sd)
+        assert auto_net.arch == backbone and auto_net.ch == ch
+
+        net = FBRSDeepLabModel(arch=backbone, ch=ch, norm_radius=26.0)
+        h, w = 48, 64
+        img = rng.rand(1, h, w, 3).astype(np.float32)
+        pts = np.asarray([[[10.0, 12.0], [-1, -1], [30.0, 40.0], [-1, -1]]],
+                         np.float32)
+        with torch.no_grad():
+            ref_out = ref(nchw(img), torch.from_numpy(pts))["instances"]
+        got = net.apply(params, jnp.asarray(img), jnp.asarray(pts))
+        np.testing.assert_allclose(np.asarray(got), nhwc(ref_out), atol=3e-4)
+
+    def test_resnet152_constructs_and_detects(self, rng):
+        """152 is constructible in the reference (resnetv1b.py:266) but
+        its loader cannot auto-detect it (utils.py:80 raises); here the
+        param-count ladder extends to it."""
+        from mivos_tpu.models.fbrs import RESNETV1B_ARCHS, ResNetV1b
+
+        net = ResNetV1b(**RESNETV1B_ARCHS["resnet152"])
+        x = jnp.zeros((1, 32, 32, 3))
+        params = jax.eval_shape(lambda: net.init(jax.random.PRNGKey(0), x))
+        n_leaves = len(jax.tree_util.tree_leaves(params))
+        # 3-deep stem + (3+8+36+3) bottlenecks: far past the 101 ladder.
+        assert n_leaves > 531
+
+        fake = {f"feature_extractor.backbone.p{i}.weight": np.zeros((1,))
+                for i in range(600)}
+        fake["feature_extractor.aspp.project.0.weight"] = np.zeros(
+            (256, 1280, 1, 1), np.float32)
+        info = C.detect_fbrs_model(fake)
+        assert info["backbone"] == "resnet152"
+
+
 class TestFBRSModelParity:
     def test_full_forward(self, ref_fbrs, flax_fbrs, rng):
         h, w = 64, 96

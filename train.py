@@ -34,6 +34,9 @@ def parse_args():
     p.add_argument("--load_model", help="full resume (orbax manager dir)")
     p.add_argument("--save_dir", default="saves")
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--save_every", type=int, default=None,
+                   help="checkpoint interval (default 5000)")
+    p.add_argument("--report_every", type=int, default=None)
     return p.parse_args()
 
 
@@ -52,10 +55,15 @@ def main():
     from mivos_tpu.utils import Integrator, TensorboardLogger
 
     maybe_initialize_distributed()
+    extra = {}
+    if args.save_every is not None:
+        extra["save_every"] = args.save_every
+    if args.report_every is not None:
+        extra["report_every"] = args.report_every
     cfg = TrainConfig(stage=args.stage, batch_size=args.batch_size,
                       lr=args.lr, iterations=args.iterations,
                       steps=tuple(args.steps) if args.steps else None,
-                      gamma=args.gamma)
+                      gamma=args.gamma, **extra)
     iterations = cfg.resolved_iterations()
 
     is_main = jax.process_index() == 0
