@@ -158,6 +158,36 @@ class TestShardedSession:
         shards = sh.bank.keys.sharding
         assert len(shards.device_set) == 8
 
+    def test_fused_session_matches_single_device(self, nets):
+        """Difference-aware fusion active (round 2 propagates INTO
+        interacted territory): the fuse path reads the bank-adjacent
+        attention from replicated tensors, so it must compose cleanly
+        with the sharded bank carry."""
+        from mivos_tpu.models.fusion import FusionNet
+
+        prop, params, images = nets
+        fuse = FusionNet()
+        fp = fuse.init(jax.random.PRNGKey(1),
+                       jnp.zeros((KOBJ, 48, 64, 3)),
+                       jnp.zeros((KOBJ, 48, 64, 1)),
+                       jnp.zeros((KOBJ, 48, 64, 1)),
+                       jnp.zeros((KOBJ, 48, 64, 2)), jnp.zeros((KOBJ, 2)))
+        mesh = make_mesh(8)
+        ref = InferenceCore(prop, params, fuse, fp, images, KOBJ,
+                            mem=MemoryConfig(top_k=10, mem_freq=2))
+        sh = InferenceCore(prop, params, fuse, fp, images, KOBJ,
+                           mem=MemoryConfig(top_k=10, mem_freq=2,
+                                            bank_sharded=True), mesh=mesh)
+        ref.interact(self._mask(5), idx=0)
+        sh.interact(self._mask(5), idx=0)
+        out_ref = ref.interact(self._mask(6), idx=TS - 1)
+        out_sh = sh.interact(self._mask(6), idx=TS - 1)
+        for ti in range(TS):
+            np.testing.assert_allclose(np.asarray(sh.get_prob(ti)),
+                                       np.asarray(ref.get_prob(ti)),
+                                       atol=2e-4)
+        assert (out_sh == out_ref).mean() > 0.999
+
     def test_bank_sharded_requires_mesh_and_profile0(self, nets):
         prop, params, images = nets
         with pytest.raises(ValueError, match="requires a mesh"):
