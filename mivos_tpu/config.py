@@ -69,7 +69,7 @@ class TrainConfig:
 
     stage: int = 0                     # 0 = BL30K, 1 = DAVIS
     batch_size: int = 12
-    lr: float = 2e-5
+    lr: float = 1e-4                   # reference hyper_para.py:24
     iterations: Optional[int] = None   # stage default if None
     steps: Optional[Tuple[int, ...]] = None
     gamma: float = 0.1
@@ -86,7 +86,7 @@ class TrainConfig:
     def resolved_steps(self) -> Tuple[int, ...]:
         if self.steps is not None:
             return self.steps
-        return (25000,) if self.stage == 0 else (8000,)
+        return (20000,) if self.stage == 0 else (7500,)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -63,6 +63,12 @@ class PropagationNetwork(nn.Module):
     # approx_max_k XLA elsewhere; 'xla_exact' = sort-based exact top-k
     # (the parity oracle used in tests). See ops/memory_read.py.
     read_backend: str = "auto"
+    # Pallas-backend threshold-refine passes (speed/tightness knob;
+    # ops/pallas/memory_read.py): 2 brackets the k-th affinity to ~3e-3
+    # nats (exact top-k support for the median row), 0 reverts to the
+    # raw candidate-bin threshold (~0.1-nat slack). Ignored by the XLA
+    # backends and the sharded-bank path.
+    read_refine: int = 2
     # Compute dtype for the conv towers ('bfloat16' for production TPU
     # inference; params and the affinity softmax stay fp32). The memory
     # bank inherits this dtype, halving its HBM traffic.
@@ -153,7 +159,8 @@ class PropagationNetwork(nn.Module):
             readout = _memory_read(mem_k, mem_v, qk, top_k=self.top_k,
                                    valid=valid, km=self.km,
                                    query_hw=(h16, w16),
-                                   backend=self.read_backend)
+                                   backend=self.read_backend,
+                                   n_refine=self.read_refine)
         readout = readout.reshape(k, h16, w16, VAL_DIM)
         qv = jnp.broadcast_to(v16, (k,) + v16.shape[1:])
         m4 = jnp.concatenate([readout, qv], axis=-1)  # (K, h16, w16, 1024)

@@ -142,6 +142,7 @@ def memory_read(
     km: Optional[float] = None,
     query_hw: Optional[tuple] = None,
     backend: str = "auto",
+    n_refine: int = 2,
 ) -> jax.Array:
     """Full memory read (reference EvalMemoryReader, prop_net.py:75-108).
 
@@ -154,6 +155,8 @@ def memory_read(
       'xla_approx' (approx_max_k) | 'xla_exact' (sort top-k; parity
       oracle). 'auto' picks pallas on TPU, xla_approx elsewhere. The
       kernelized (km) variant and top_k=None always use XLA.
+    n_refine: pallas-only threshold-refine passes (see
+      ops/pallas/memory_read.py); ignored by the XLA backends.
     Returns (K, N, CV) readout.
     """
     backend = _resolve_backend(backend)
@@ -161,7 +164,7 @@ def memory_read(
         from mivos_tpu.ops.pallas.memory_read import memory_read_pallas
 
         return memory_read_pallas(mem_k, mem_v, query_k, top_k=top_k,
-                                  valid=valid)
+                                  valid=valid, n_refine=n_refine)
     aff = affinity_matrix(mem_k, query_k)
     if km is not None:
         assert query_hw is not None and top_k is not None

@@ -11,8 +11,8 @@ and the (K, N, M) weights in HBM — at 480p with a 20k-slot bank that is
 This kernel never materializes either: it is flash-attention restructured
 around a top-k filter instead of a running softmax.
 
-Two phases over the memory axis (two pallas_calls so the value tiles are
-only streamed once):
+Phases over the memory axis (separate pallas_calls so the value tiles
+are only streamed once):
 
   Phase A (threshold): stream K-tiles, affinity = Q @ K^T on the MXU,
     and reduce each tile into per-row *candidate maxima* under TWO
@@ -28,18 +28,34 @@ only streamed once):
     the max count (a position can appear in both partitions; per-buffer
     counts never double-count).
 
-  Phase B (read): stream K- and V-tiles, recompute the affinity tile
-    (25% extra MXU work on the cheap 128-d contraction — far cheaper
-    than an HBM round trip), form w = where(a >= t, exp(a - rowmax), 0),
-    and accumulate w @ V and the weight row-sums in VMEM scratch;
-    normalize and write out on the last tile.
+  Refine passes (x n_refine, default 2): exact-count threshold
+    tightening (`_refine_kernel`). Bin collisions leave the phase-A
+    threshold ~0.05-0.12 nats below the true k-th affinity, and on real
+    encoder banks the affinity top is dense (hundreds of entries within
+    1 nat), so that slack admits ~10 extra entries carrying ~9% of the
+    readout mass. Each refine pass re-streams the cheap 128-contraction
+    affinity, exactly counts entries above N_EDGES edges bracketing the
+    k-th value, and shrinks the bracket N_EDGES-fold; two capped passes
+    land within ~3e-3 nats — the measured a50-a51 spacing — recovering
+    the exact top-k support for the median row (p99: 1-2 boundary
+    near-ties).
 
-Alignment with the exact reference read: the support is a superset of
+  Phase B (read): stream K- and V-tiles, recompute the affinity tile
+    (cheap 128-d contraction — far cheaper than an HBM round trip),
+    form w = where(a >= t, exp(a - rowmax), 0), and accumulate w @ V
+    and the weight row-sums in VMEM scratch; normalize and write out on
+    the last tile.
+
+Alignment with the exact reference read: affinities are computed at
+effectively-fp32 precision (double-bf16 split, `_affinity` — a plain
+fp32 dot is ONE bf16 MXU pass, whose ~0.4% noise on O(10)-magnitude
+trained-encoder affinities costs ~10% weight error; the XLA path uses
+precision=HIGHEST for the same reason). The support is a superset of
 the exact top-k support; every included weight value is identical
-(exp(a - a_top1), prop_net.py:55-57). Extra entries sit at or below the
-k-th weight, so the readout matches the exact path to ~1e-3 — tighter
-than the approx_max_k production path already in use. Validated against
-the XLA exact reader in tests/test_pallas_memory_read.py.
+(exp(a - a_top1), prop_net.py:55-57) and extra entries sit within the
+refined bracket of the k-th weight. Validated against the XLA exact
+reader in tests/test_pallas_memory_read.py (interpret mode) and, on
+real TPU with real encoder banks, scripts/pallas_kernel_check.py.
 """
 from __future__ import annotations
 
@@ -72,6 +88,37 @@ def _roll_cols(x: jax.Array, r: int) -> jax.Array:
     return jnp.concatenate([x[:, c - r:], x[:, : c - r]], axis=1)
 
 
+def _affinity(q: jax.Array, k_tile: jax.Array) -> jax.Array:
+    """(TN, ck) fp32 query x (TM, ck) bank-dtype keys -> (TN, TM) fp32
+    affinity at effectively-fp32 precision via double-bf16 splitting.
+
+    The MXU multiplies bf16 natively; a plain fp32 `jnp.dot` lowers to a
+    SINGLE bf16 pass (~0.4% relative), and trained-encoder affinities
+    have magnitude O(10), so that noise is O(0.1) absolute — e^0.1 ~ 10%
+    weight error against the XLA path, which computes the affinity at
+    precision=HIGHEST precisely because selection is rounding-sensitive
+    (ops/memory_read.py:39-56; measured on real banks in
+    scripts/pallas_kernel_check.py). Splitting q = q_hi + q_lo (exact in
+    fp32) and summing bf16 passes in the fp32 accumulator recovers
+    ~1e-5-relative affinities: 2 passes for bf16 banks (bf16 keys are
+    exact MXU inputs), 3 for fp32 banks (q_hi k_lo + q_lo k_hi; the
+    dropped q_lo k_lo term is O(1e-5) relative). The contraction is the
+    cheap ck=128 axis, so the extra passes cost far less than the CV=512
+    value matmul."""
+    qhi = q.astype(jnp.bfloat16)
+    qlo = (q - qhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    if k_tile.dtype == jnp.bfloat16:
+        kt = k_tile.T
+        return (jnp.dot(qhi, kt, preferred_element_type=jnp.float32)
+                + jnp.dot(qlo, kt, preferred_element_type=jnp.float32))
+    k32 = k_tile.astype(jnp.float32)
+    khi = k32.astype(jnp.bfloat16)
+    klo = (k32 - khi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (jnp.dot(qhi, khi.T, preferred_element_type=jnp.float32)
+            + jnp.dot(qhi, klo.T, preferred_element_type=jnp.float32)
+            + jnp.dot(qlo, khi.T, preferred_element_type=jnp.float32))
+
+
 def _candidates_kernel(q_ref, mk_ref, mask_ref, stats_ref,
                        cand1, cand2, *, top_k: int, nm: int):
     """Grid (K, NT, NM): accumulate bin-maxima, emit threshold at end.
@@ -89,8 +136,7 @@ def _candidates_kernel(q_ref, mk_ref, mask_ref, stats_ref,
     m = pl.program_id(2)
     s_count = TM // C_BINS
 
-    aff = jnp.dot(q_ref[:], mk_ref[:].T, preferred_element_type=jnp.float32)
-    aff = aff + mask_ref[:]
+    aff = _affinity(q_ref[:], mk_ref[:]) + mask_ref[:]
 
     t1 = aff[:, :C_BINS]
     t2 = aff[:, :C_BINS]
@@ -131,6 +177,85 @@ def _candidates_kernel(q_ref, mk_ref, mask_ref, stats_ref,
         lo, hi = jax.lax.fori_loop(0, BISECT_ITERS, body, (lo, hi))
         stats_ref[0:1, :] = lo.T
         stats_ref[1:2, :] = rowmax.T
+        # upper bound for the refine passes: the row max is always >=
+        # the k-th affinity (tight only for k=1, but refine shrinks it).
+        stats_ref[2:3, :] = rowmax.T
+
+
+N_EDGES = 7
+# First-refine range cap in nats: the candidate-bin threshold's measured
+# gap to the true k-th affinity is <= 0.12 nats on real encoder banks
+# (scripts/pallas_kernel_check.py analysis). The cap only affects
+# TIGHTNESS, never validity: if the gap ever exceeds it, every edge
+# counts >= k entries and the threshold climbs by the full
+# (still-valid) range instead of refining. 7 edges halve the VPU
+# element-count cost vs 15 (the pass is VPU-bound, ~0.9 ms vs ~1.85 ms
+# at M=20480); two capped passes bracket the k-th affinity to
+# 0.15/7^2 ~ 3e-3 nats, three to ~4e-4.
+REFINE_CAP = 0.15
+
+
+def _refine_kernel(q_ref, mk_ref, mask_ref, stats_in, stats_out, cnt,
+                   *, top_k: int, nm: int):
+    """Grid (K, NT, NM): tighten the threshold with EXACT counts.
+
+    The candidate-bin threshold of `_candidates_kernel` is a lower bound
+    on the k-th affinity whose looseness is set by bin collisions among
+    the top entries — measured ~10 collisions / gap ~0.05-0.12 nats on
+    real encoder banks, which on dense affinity tops admits ~10 extra
+    entries carrying ~9% of the readout mass. This pass streams the
+    affinity again (cheap 128-contraction) and counts entries >= each of
+    N_EDGES linear edges spanning [th, min(ub, th + REFINE_CAP)]; the
+    new threshold is the largest edge still counting >= top_k entries
+    (exact-count lower bound on the k-th affinity), and the next edge up
+    — whose exact count is < top_k — becomes the new upper bound ub, so
+    the bracketing interval shrinks ~N_EDGES-fold per application. Two
+    applications bring the measured gap below ~1.1e-3 nats; with
+    inter-rank spacing a50-a51 ~ 2.7e-3 nats that recovers the EXACT
+    top-k support for the median row and <= 1-3 boundary near-ties for
+    the rest. All passes share `_affinity` and the identical
+    `th + i * delta` fp32 expression, so the final threshold compares
+    bitwise-consistently in phase B, and multiplication by a positive
+    fp32 scalar is monotone, so the selected set is always a top-|S| set
+    by affinity with |S| >= top_k (never drops a true top-k entry).
+    """
+    m = pl.program_id(2)
+    aff = _affinity(q_ref[:], mk_ref[:]) + mask_ref[:]
+
+    th = stats_in[0:1, :].T   # (TN, 1)
+    mx = stats_in[1:2, :].T
+    ub = stats_in[2:3, :].T
+    delta = jnp.maximum(jnp.minimum(ub - th, REFINE_CAP) / float(N_EDGES),
+                        1e-7)
+
+    cvec = jnp.concatenate(
+        [jnp.sum(jnp.where(aff >= th + float(i + 1) * delta, 1.0, 0.0),
+                 axis=1, keepdims=True) for i in range(N_EDGES)], axis=1)
+
+    @pl.when(m == 0)
+    def _():
+        cnt[:, :N_EDGES] = cvec
+
+    @pl.when(m > 0)
+    def _():
+        cnt[:, :N_EDGES] = cnt[:, :N_EDGES] + cvec
+
+    @pl.when(m == nm - 1)
+    def _():
+        c = cnt[:, :N_EDGES]
+        # counts are nonincreasing along the edge axis; the number of
+        # satisfied edges IS the index of the tightest valid edge.
+        nok = jnp.sum((c >= top_k).astype(jnp.float32), axis=1,
+                      keepdims=True)
+        th_new = th + nok * delta
+        # e_(nok+1) was counted < top_k, so it strictly upper-bounds the
+        # k-th affinity — EXCEPT when nok == N_EDGES (nothing above the
+        # last edge was counted; keep the previous bound).
+        ub_new = jnp.where(nok < float(N_EDGES),
+                           jnp.minimum(ub, th_new + delta), ub)
+        stats_out[0:1, :] = th_new.T
+        stats_out[1:2, :] = mx.T
+        stats_out[2:3, :] = ub_new.T
 
 
 def _readout_kernel(q_ref, mk_ref, mv_ref, mask_ref, stats_ref,
@@ -138,8 +263,7 @@ def _readout_kernel(q_ref, mk_ref, mv_ref, mask_ref, stats_ref,
     """Grid (K, NT, NM): thresholded exp weights, accumulate w @ V."""
     m = pl.program_id(2)
 
-    aff = jnp.dot(q_ref[:], mk_ref[:].T, preferred_element_type=jnp.float32)
-    aff = aff + mask_ref[:]
+    aff = _affinity(q_ref[:], mk_ref[:]) + mask_ref[:]
 
     th = stats_ref[0:1, :].T  # (TN, 1)
     mx = stats_ref[1:2, :].T
@@ -175,10 +299,11 @@ def _pad_axis(x, axis: int, mult: int, value=0.0):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("top_k", "interpret"))
+                   static_argnames=("top_k", "interpret", "n_refine"))
 def memory_read_pallas(mem_k: jax.Array, mem_v: jax.Array,
                        query_k: jax.Array, top_k: int = 50,
-                       valid=None, interpret: bool = False) -> jax.Array:
+                       valid=None, interpret: bool = False,
+                       n_refine: int = 2) -> jax.Array:
     """Fused top-k memory read.
 
     mem_k: (K, M, CK) keys, mem_v: (K, M, CV) values, query_k: (N, CK)
@@ -194,10 +319,10 @@ def memory_read_pallas(mem_k: jax.Array, mem_v: jax.Array,
 
     scale = 1.0 / math.sqrt(ck)
     # Keys/values keep their storage dtype (bf16 banks halve the HBM
-    # traffic and run the MXU at full rate); the affinity and all
-    # softmax statistics accumulate in fp32 regardless.
-    q = _pad_axis((query_k.astype(jnp.float32) * scale).astype(mem_k.dtype),
-                  0, TN)
+    # traffic and run the MXU at full rate); the query stays fp32 and the
+    # affinity is computed split-precision (_affinity), matching the XLA
+    # path's precision=HIGHEST selection semantics.
+    q = _pad_axis(query_k.astype(jnp.float32) * scale, 0, TN)
     mk = _pad_axis(mem_k, 1, TM)
     mv = _pad_axis(mem_v, 1, TM)
     if valid is None:
@@ -234,6 +359,21 @@ def memory_read_pallas(mem_k: jax.Array, mem_v: jax.Array,
             transcendentals=0),
         interpret=interpret,
     )(q, mk, mask)
+
+    for _ in range(n_refine):
+        stats = pl.pallas_call(
+            functools.partial(_refine_kernel, top_k=top_k, nm=nm),
+            grid=grid,
+            in_specs=[q_spec, mk_spec, mask_spec, stats_spec],
+            out_specs=stats_spec,
+            out_shape=jax.ShapeDtypeStruct((k, nt, 8, TN), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((TN, 128), jnp.float32)],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * k * n_pad * m_pad * ck,
+                bytes_accessed=4 * k * m_pad * ck + 4 * n_pad * ck,
+                transcendentals=0),
+            interpret=interpret,
+        )(q, mk, mask, stats)
 
     mv_spec = pl.BlockSpec((None, TM, cv), lambda ki, ni, mi: (ki, mi, 0),
                            memory_space=pltpu.VMEM)

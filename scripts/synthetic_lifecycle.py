@@ -5,7 +5,7 @@ resume — proving the reference's training lifecycle
 (/root/reference/train.py:66-129) end-to-end beyond unit tests.
 
 Phases (each a subprocess with the real CLI entry points):
-  1. write 4 synthetic 384x384 videos in the DAVIS disk layout
+  1. write 12 synthetic 384x384 videos in the DAVIS disk layout
   2. generate_fusion.py --model_npz weights/prop_synthetic.npz
   3. train.py ... --iterations N, SIGKILLed after the midpoint report
   4. train.py --load_model <saves> resumes from the latest checkpoint
@@ -46,7 +46,7 @@ def cpu_env(n_devices: int = 8) -> dict:
     return env
 
 
-def write_dataset(root: str, n_videos: int = 4, t: int = 16,
+def write_dataset(root: str, n_videos: int = 12, t: int = 10,
                   hw: int = 384) -> None:
     from PIL import Image
 
@@ -111,22 +111,27 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--save-every", type=int, default=100)
     ap.add_argument("--weights", default="weights/prop_synthetic.npz")
+    ap.add_argument("--skip-gen", action="store_true",
+                    help="reuse an existing --root dataset + fusion maps")
     args = ap.parse_args()
 
     env = cpu_env()
     os.makedirs(args.root, exist_ok=True)
-    write_dataset(args.root)
-
     fd_root = path.join(args.root, "fusion")
-    t0 = time.time()
-    rc = subprocess.run(
+    if args.skip_gen and os.path.isdir(fd_root):
+        print("[lifecycle] reusing existing data + fusion maps", flush=True)
+    else:
+        write_dataset(args.root)
+        t0 = time.time()
+        rc = subprocess.run(
         [sys.executable, path.join(REPO, "generate_fusion.py"),
          "--dataset", "DAVIS", "--davis_root", args.root,
          "--model_npz", args.weights, "--output",
-         path.join(fd_root, "davis"), "--separation", "5",
-         "--dtype", "float32"], env=env, cwd=REPO).returncode
-    assert rc == 0, "generate_fusion failed"
-    print(f"[generate_fusion] done in {time.time() - t0:.0f}s", flush=True)
+         path.join(fd_root, "davis"), "--separation", "8",
+             "--dtype", "float32"], env=env, cwd=REPO).returncode
+        assert rc == 0, "generate_fusion failed"
+        print(f"[generate_fusion] done in {time.time() - t0:.0f}s",
+              flush=True)
 
     train_args = [
         "--id", "lifecycle", "--stage", "1",

@@ -82,6 +82,46 @@ class TestPallasMemoryRead:
         approx = memory_read(mk, mv, q, top_k=30, backend="xla_approx")
         np.testing.assert_array_equal(np.asarray(auto), np.asarray(approx))
 
+    def test_refine_passes_tighten_toward_exact(self, rng):
+        """The exact-count refine passes (`_refine_kernel`) shrink the
+        threshold's bracket around the k-th affinity ~N_EDGES-fold per
+        pass, so readout error vs the exact oracle must improve with
+        n_refine on dense-boundary (iid Gaussian) spectra — the regime
+        where the phase-A candidate-bin threshold is loosest."""
+        k, m, n = 2, 2048, 256
+        mk = jnp.asarray(rng.randn(k, m, 128).astype(np.float32))
+        mv = jnp.asarray(rng.randn(k, m, 512).astype(np.float32))
+        q = jnp.asarray(rng.randn(n, 128).astype(np.float32))
+        exact = np.asarray(memory_read(mk, mv, q, top_k=50,
+                                       backend="xla_exact"))
+        errs = []
+        for nr in (0, 2):
+            out = np.asarray(memory_read_pallas(
+                mk, mv, q, top_k=50, interpret=True, n_refine=nr))
+            errs.append(np.abs(out - exact).mean())
+        # Two refine passes must cut the mean error at least 2x, and
+        # refined support must stay a SUPERSET of exact top-k (readout
+        # between exact-topk and full-softmax, never missing mass).
+        assert errs[1] < 0.5 * errs[0], errs
+
+    def test_large_magnitude_affinities_split_precision(self, rng):
+        """Trained-encoder affinities have magnitude O(10) (the regime
+        where one bf16 MXU pass loses ~0.1 nats and 10% weight error on
+        real TPU). The split-precision `_affinity` path must track the
+        fp32 exact oracle tightly at that magnitude."""
+        k, m, n, ck = 1, 1024, 128, 128
+        lat = rng.randn(8, ck).astype(np.float32)
+        mk = jnp.asarray(rng.randn(k, m, 8).astype(np.float32) @ lat)
+        mv = jnp.asarray(rng.randn(k, m, 512).astype(np.float32))
+        q = jnp.asarray(rng.randn(n, 8).astype(np.float32) @ lat * 4.0)
+        aff_scale = float(jnp.abs(
+            q @ mk[0].T / np.sqrt(ck)).max())
+        assert aff_scale > 8.0, aff_scale  # the intended regime
+        ref = memory_read(mk, mv, q, top_k=50, backend="xla_exact")
+        out = memory_read_pallas(mk, mv, q, top_k=50, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-3)
+
     def test_bfloat16_bank_inputs(self, rng):
         """Production config: bf16 keys/values, fp32 statistics. The
         readout must stay within bf16 resolution of the fp32 exact

@@ -24,7 +24,7 @@ def parse_args():
     p.add_argument("--gt_root", required=True)
     p.add_argument("--fd_root", required=True)
     p.add_argument("--batch_size", type=int, default=12)
-    p.add_argument("--lr", type=float, default=2e-5)
+    p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--iterations", type=int, default=None)
     p.add_argument("--steps", type=int, nargs="*", default=None)
     p.add_argument("--gamma", type=float, default=0.1)
