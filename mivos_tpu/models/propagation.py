@@ -63,12 +63,15 @@ class PropagationNetwork(nn.Module):
     # approx_max_k XLA elsewhere; 'xla_exact' = sort-based exact top-k
     # (the parity oracle used in tests). See ops/memory_read.py.
     read_backend: str = "auto"
-    # Pallas-backend threshold-refine passes (speed/tightness knob;
-    # ops/pallas/memory_read.py): 2 brackets the k-th affinity to ~3e-3
-    # nats (exact top-k support for the median row), 0 reverts to the
-    # raw candidate-bin threshold (~0.1-nat slack). Ignored by the XLA
+    # Pallas-backend exact-count threshold-refine passes (safety knob;
+    # ops/pallas/memory_read.py). With the top-2-per-bin phase A the
+    # bisected threshold already lands at the k-th affinity on real
+    # encoder banks (mean readout err 2.2e-5, unchanged by refine —
+    # scripts/refine_sweep.py), so the default is 0; each pass costs
+    # ~0.9 ms at M~21k and exists for adversarial spectra where
+    # 3+-bin-collisions leave residual slack. Ignored by the XLA
     # backends and the sharded-bank path.
-    read_refine: int = 2
+    read_refine: int = 0
     # Compute dtype for the conv towers ('bfloat16' for production TPU
     # inference; params and the affinity softmax stay fp32). The memory
     # bank inherits this dtype, halving its HBM traffic.

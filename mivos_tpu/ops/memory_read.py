@@ -142,7 +142,7 @@ def memory_read(
     km: Optional[float] = None,
     query_hw: Optional[tuple] = None,
     backend: str = "auto",
-    n_refine: int = 2,
+    n_refine: int = 0,
 ) -> jax.Array:
     """Full memory read (reference EvalMemoryReader, prop_net.py:75-108).
 

@@ -15,30 +15,24 @@ Phases over the memory axis (separate pallas_calls so the value tiles
 are only streamed once):
 
   Phase A (threshold): stream K-tiles, affinity = Q @ K^T on the MXU,
-    and reduce each tile into per-row *candidate maxima* under TWO
-    independent partitions of the memory axis — strided bins (m mod C)
-    and block bins (m div B). A top-k entry is only lost from a bin if a
-    larger entry shares that bin; with two decorrelated partitions the
-    survivor set's k-th largest is a tight LOWER bound on the true k-th
-    value (never above it), so the filter only ever widens toward full
-    softmax — the numerically safe direction. The threshold is recovered
-    from the candidate buffers by 22 rounds of bisection on
-    [rowmax - 30, rowmax] (weights below e^-30 vanish in fp32, so the
-    clamp is exact in effect), counting candidates per buffer and taking
-    the max count (a position can appear in both partitions; per-buffer
-    counts never double-count).
+    and reduce each tile into per-row per-bin TOP-2 maxima under TWO
+    independent roll-offset partitions of the memory axis. A top-k
+    entry only goes uncounted if two larger entries share its bin in
+    BOTH partitions — expected ~0.3 entries at k=50/C_BINS=256 (vs ~5
+    with plain bin maxima, whose 50-into-256 birthday collisions forced
+    the threshold 0.05-0.12 nats low). Counts never OVERcount, so the
+    bisected threshold (22 rounds on [rowmax - 30, rowmax]; weights
+    below e^-30 vanish in fp32) is a valid lower bound on the k-th
+    affinity that now lands essentially AT it for most rows — the
+    filter only ever widens toward full softmax, the numerically safe
+    direction.
 
-  Refine passes (x n_refine, default 2): exact-count threshold
-    tightening (`_refine_kernel`). Bin collisions leave the phase-A
-    threshold ~0.05-0.12 nats below the true k-th affinity, and on real
-    encoder banks the affinity top is dense (hundreds of entries within
-    1 nat), so that slack admits ~10 extra entries carrying ~9% of the
-    readout mass. Each refine pass re-streams the cheap 128-contraction
-    affinity, exactly counts entries above N_EDGES edges bracketing the
-    k-th value, and shrinks the bracket N_EDGES-fold; two capped passes
-    land within ~3e-3 nats — the measured a50-a51 spacing — recovering
-    the exact top-k support for the median row (p99: 1-2 boundary
-    near-ties).
+  Refine passes (x n_refine, default 0): exact-count threshold
+    tightening (`_refine_kernel`) for the minority of rows where
+    3+-collisions leave residual slack. Each refine pass re-streams the
+    cheap 128-contraction affinity, exactly counts entries above
+    N_EDGES edges bracketing the k-th value, and shrinks the bracket
+    N_EDGES-fold (REFINE_CAP bounds the first bracket).
 
   Phase B (read): stream K- and V-tiles, recompute the affinity tile
     (cheap 128-d contraction — far cheaper than an HBM round trip),
@@ -120,58 +114,85 @@ def _affinity(q: jax.Array, k_tile: jax.Array) -> jax.Array:
 
 
 def _candidates_kernel(q_ref, mk_ref, mask_ref, stats_ref,
-                       cand1, cand2, *, top_k: int, nm: int):
-    """Grid (K, NT, NM): accumulate bin-maxima, emit threshold at end.
+                       c1a, c1b, c2a, c2b, *, top_k: int, nm: int):
+    """Grid (K, NT, NM): accumulate per-bin TOP-2 maxima, emit threshold.
 
-    stats_ref: (8, TN) output block; sublane 0 = threshold, 1 = rowmax
-    (packed to satisfy the (8, 128) fp32 tile constraint on outputs).
+    stats_ref: (8, TN) output block; sublane 0 = threshold, 1 = rowmax,
+    2 = refine upper bound (packed to satisfy the (8, 128) fp32 tile
+    constraint on outputs).
 
     Bin partitions (S = TM // C_BINS slices per tile):
-      P1: bin(j) = j mod C_BINS               (slice-wise max-merge)
+      P1: bin(j) = j mod C_BINS               (slice-wise merge)
       P2: bin(j) = (j mod C_BINS + 85 s) mod C_BINS,  s = j div C_BINS
     Within a tile no column pair collides in both partitions (85 is
     coprime to C_BINS), and contiguous spatial clusters up to C_BINS
     wide keep every entry in both.
+
+    Each partition keeps the TOP-2 values per bin ((a, b) running pairs,
+    a >= b). Counting #{values >= t} over the pairs gives
+    sum_bins min(count_in_bin(t), 2) — with top_k=50 entries hashed into
+    C_BINS=256 bins the expected mass in 3+-collision bins is ~0.3
+    entries (vs ~5 entries saturating plain bin-maxima), so the
+    bisection threshold lands essentially AT the k-th affinity for most
+    rows instead of 0.05-0.12 nats below it. Counts still never
+    OVERcount, so the threshold remains a valid lower bound and the
+    selected support a superset of the exact top-k.
     """
     m = pl.program_id(2)
     s_count = TM // C_BINS
 
     aff = _affinity(q_ref[:], mk_ref[:]) + mask_ref[:]
 
-    t1 = aff[:, :C_BINS]
-    t2 = aff[:, :C_BINS]
+    neg = jnp.full((aff.shape[0], C_BINS), NEG_INF, jnp.float32)
+    t1a, t1b = aff[:, :C_BINS], neg
+    t2a, t2b = aff[:, :C_BINS], neg
     for s in range(1, s_count):
         sl = aff[:, s * C_BINS:(s + 1) * C_BINS]
-        t1 = jnp.maximum(t1, sl)
-        t2 = jnp.maximum(t2, _roll_cols(sl, (85 * s) % C_BINS))
+        t1b = jnp.maximum(t1b, jnp.minimum(t1a, sl))
+        t1a = jnp.maximum(t1a, sl)
+        rl = _roll_cols(sl, (85 * s) % C_BINS)
+        t2b = jnp.maximum(t2b, jnp.minimum(t2a, rl))
+        t2a = jnp.maximum(t2a, rl)
 
     @pl.when(m == 0)
     def _():
-        cand1[:] = t1
-        cand2[:] = t2
+        c1a[:], c1b[:] = t1a, t1b
+        c2a[:], c2b[:] = t2a, t2b
 
     @pl.when(m > 0)
     def _():
-        cand1[:] = jnp.maximum(cand1[:], t1)
-        cand2[:] = jnp.maximum(cand2[:], t2)
+        # top-2 of the union of two sorted pairs (x1 >= x2, y1 >= y2):
+        # (max(x1, y1), max(min(x1, y1), max(x2, y2))).
+        c1b[:] = jnp.maximum(jnp.minimum(c1a[:], t1a),
+                             jnp.maximum(c1b[:], t1b))
+        c1a[:] = jnp.maximum(c1a[:], t1a)
+        c2b[:] = jnp.maximum(jnp.minimum(c2a[:], t2a),
+                             jnp.maximum(c2b[:], t2b))
+        c2a[:] = jnp.maximum(c2a[:], t2a)
 
     @pl.when(m == nm - 1)
     def _():
-        c1, c2 = cand1[:], cand2[:]
-        rowmax = jnp.maximum(jnp.max(c1, axis=1, keepdims=True),
-                             jnp.max(c2, axis=1, keepdims=True))  # (TN, 1)
+        p1a, p1b, p2a, p2b = c1a[:], c1b[:], c2a[:], c2b[:]
+        rowmax = jnp.maximum(jnp.max(p1a, axis=1, keepdims=True),
+                             jnp.max(p2a, axis=1, keepdims=True))  # (TN, 1)
         lo = rowmax - THRESH_RANGE
         hi = rowmax
+
+        def count(mid):
+            n1 = (jnp.sum((p1a >= mid).astype(jnp.float32), axis=1,
+                          keepdims=True)
+                  + jnp.sum((p1b >= mid).astype(jnp.float32), axis=1,
+                            keepdims=True))
+            n2 = (jnp.sum((p2a >= mid).astype(jnp.float32), axis=1,
+                          keepdims=True)
+                  + jnp.sum((p2b >= mid).astype(jnp.float32), axis=1,
+                            keepdims=True))
+            return jnp.maximum(n1, n2)
 
         def body(_, carry):
             lo, hi = carry
             mid = 0.5 * (lo + hi)
-            n1 = jnp.sum((c1 >= mid).astype(jnp.float32), axis=1,
-                         keepdims=True)
-            n2 = jnp.sum((c2 >= mid).astype(jnp.float32), axis=1,
-                         keepdims=True)
-            cnt = jnp.maximum(n1, n2)
-            ok = cnt >= top_k
+            ok = count(mid) >= top_k
             return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
 
         lo, hi = jax.lax.fori_loop(0, BISECT_ITERS, body, (lo, hi))
@@ -183,16 +204,18 @@ def _candidates_kernel(q_ref, mk_ref, mask_ref, stats_ref,
 
 
 N_EDGES = 7
-# First-refine range cap in nats: the candidate-bin threshold's measured
-# gap to the true k-th affinity is <= 0.12 nats on real encoder banks
-# (scripts/pallas_kernel_check.py analysis). The cap only affects
+# First-refine range cap in nats. With plain bin-maxima the candidate
+# threshold's gap to the true k-th affinity measured 0.05-0.12 nats on
+# real encoder banks; with TOP-2 bins (see _candidates_kernel) most
+# rows land essentially AT the k-th affinity and the residual gap on
+# 3+-collision rows is the spacing of the 1-3 undercounted entries
+# (~0.01-0.05 nats), which this cap covers. The cap only affects
 # TIGHTNESS, never validity: if the gap ever exceeds it, every edge
 # counts >= k entries and the threshold climbs by the full
 # (still-valid) range instead of refining. 7 edges halve the VPU
-# element-count cost vs 15 (the pass is VPU-bound, ~0.9 ms vs ~1.85 ms
-# at M=20480); two capped passes bracket the k-th affinity to
-# 0.15/7^2 ~ 3e-3 nats, three to ~4e-4.
-REFINE_CAP = 0.15
+# element-count cost vs 15 (the pass is VPU-bound); one capped pass
+# brackets the k-th affinity to 0.05/7 ~ 7e-3 nats, two to ~1e-3.
+REFINE_CAP = 0.05
 
 
 def _refine_kernel(q_ref, mk_ref, mask_ref, stats_in, stats_out, cnt,
@@ -200,10 +223,10 @@ def _refine_kernel(q_ref, mk_ref, mask_ref, stats_in, stats_out, cnt,
     """Grid (K, NT, NM): tighten the threshold with EXACT counts.
 
     The candidate-bin threshold of `_candidates_kernel` is a lower bound
-    on the k-th affinity whose looseness is set by bin collisions among
-    the top entries — measured ~10 collisions / gap ~0.05-0.12 nats on
-    real encoder banks, which on dense affinity tops admits ~10 extra
-    entries carrying ~9% of the readout mass. This pass streams the
+    on the k-th affinity whose looseness is set by 3+-collisions among
+    the top entries (with top-2 bins, ~0.3 expected undercounted
+    entries; rows that hit one sit ~0.01-0.05 nats low and admit a few
+    extra boundary entries). This pass streams the
     affinity again (cheap 128-contraction) and counts entries >= each of
     N_EDGES linear edges spanning [th, min(ub, th + REFINE_CAP)]; the
     new threshold is the largest edge still counting >= top_k entries
@@ -303,7 +326,7 @@ def _pad_axis(x, axis: int, mult: int, value=0.0):
 def memory_read_pallas(mem_k: jax.Array, mem_v: jax.Array,
                        query_k: jax.Array, top_k: int = 50,
                        valid=None, interpret: bool = False,
-                       n_refine: int = 2) -> jax.Array:
+                       n_refine: int = 0) -> jax.Array:
     """Fused top-k memory read.
 
     mem_k: (K, M, CK) keys, mem_v: (K, M, CV) values, query_k: (N, CK)
@@ -352,6 +375,8 @@ def memory_read_pallas(mem_k: jax.Array, mem_v: jax.Array,
         out_specs=stats_spec,
         out_shape=jax.ShapeDtypeStruct((k, nt, 8, TN), jnp.float32),
         scratch_shapes=[pltpu.VMEM((TN, C_BINS), jnp.float32),
+                        pltpu.VMEM((TN, C_BINS), jnp.float32),
+                        pltpu.VMEM((TN, C_BINS), jnp.float32),
                         pltpu.VMEM((TN, C_BINS), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * k * n_pad * m_pad * ck,

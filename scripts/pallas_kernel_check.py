@@ -144,14 +144,17 @@ def main():
         print(f"timing {backend}: {timing[backend]} ms", flush=True)
 
     # Gates apply to the production regime only. The kernel's support is
-    # a SUPERSET of the exact top-k (never misses an entry); after the
-    # exact-count refine passes, residual error comes solely from rows
-    # whose k-th/(k+1)-th affinities fall inside the final ~3e-3-nat
-    # bracket (boundary near-ties at ~w_k each — an ambiguity the
+    # a SUPERSET of the exact top-k (never misses an entry); with the
+    # top-2-per-bin phase A the bisected threshold lands at the k-th
+    # affinity and residual error comes solely from rows whose
+    # k-th/(k+1)-th affinities fall inside the ~7e-6-nat bisection
+    # resolution (boundary near-ties at ~w_k each — an ambiguity the
     # reference's own torch.topk resolves arbitrarily by index). Gate
-    # the mean at 1% of readout scale (measured ~0.15-0.3%) and the
-    # element max at 30% (measured ~14%: ONE near-tie row's worst
-    # channel out of 2.5M elements).
+    # the mean at 1% of readout scale and the element max at 30%; at
+    # the shipping default (n_refine=0) the measured figures are 0.067%
+    # mean / 9.5% max (one near-tie row's worst channel out of 2.5M
+    # elements) — refine passes measurably change nothing on encoder
+    # banks (scripts/refine_sweep.py) and remain a safety knob.
     for r in reports:
         if r["regime"] != "encoder":
             continue

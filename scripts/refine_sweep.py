@@ -62,8 +62,10 @@ def main():
         rows.append({"n_refine": r, "ms": round(ms, 3),
                      "mean_abs_err": float(err.mean()),
                      "max_abs_err": float(err.max()),
-                     "mean_pct_of_scale": round(100 * err.mean() / scale, 4),
-                     "max_pct_of_scale": round(100 * err.max() / scale, 2)})
+                     "mean_pct_of_scale": round(float(err.mean()) / scale
+                                                * 100, 4),
+                     "max_pct_of_scale": round(float(err.max()) / scale
+                                               * 100, 2)})
         print(rows[-1], flush=True)
 
     with open("/tmp/refine_sweep.json", "w") as f:
