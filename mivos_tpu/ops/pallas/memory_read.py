@@ -204,18 +204,18 @@ def _candidates_kernel(q_ref, mk_ref, mask_ref, stats_ref,
 
 
 N_EDGES = 7
-# First-refine range cap in nats. With plain bin-maxima the candidate
-# threshold's gap to the true k-th affinity measured 0.05-0.12 nats on
-# real encoder banks; with TOP-2 bins (see _candidates_kernel) most
-# rows land essentially AT the k-th affinity and the residual gap on
-# 3+-collision rows is the spacing of the 1-3 undercounted entries
-# (~0.01-0.05 nats), which this cap covers. The cap only affects
-# TIGHTNESS, never validity: if the gap ever exceeds it, every edge
-# counts >= k entries and the threshold climbs by the full
-# (still-valid) range instead of refining. 7 edges halve the VPU
-# element-count cost vs 15 (the pass is VPU-bound); one capped pass
-# brackets the k-th affinity to 0.05/7 ~ 7e-3 nats, two to ~1e-3.
-REFINE_CAP = 0.05
+# Refine range cap in nats. With the top-2-bin phase A the threshold
+# lands AT the k-th affinity on real encoder banks (slack ~0, refine
+# passes are a no-op safety knob; scripts/refine_sweep.py), so the cap
+# is sized for the ADVERSARIAL case the knob exists for: spectra whose
+# top entries defeat both bin partitions (e.g. exact C_BINS strides)
+# can leave multi-nat slack, and each pass climbs at most the cap when
+# all edges still count >= k entries. The cap only affects TIGHTNESS,
+# never validity. The pass range is min(ub - th, CAP), so once the
+# bracket is inside the cap the refinement is proportional
+# (N_EDGES-fold per pass): slack <= 0.15 brackets to 0.021 after one
+# pass, 3e-3 after two.
+REFINE_CAP = 0.15
 
 
 def _refine_kernel(q_ref, mk_ref, mask_ref, stats_in, stats_out, cnt,

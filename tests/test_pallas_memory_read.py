@@ -64,6 +64,41 @@ class TestPallasMemoryRead:
         err_full = np.abs(full - exact).mean()
         assert err_kernel < 0.5 * err_full, (err_kernel, err_full)
 
+    def test_clustered_bin_collisions_stay_superset(self, rng):
+        """Adversarial phase-A input: the top entries sit exactly C_BINS
+        positions apart, so they ALL share one bin in partition 1 and
+        the per-bin top-2 undercounts maximally there. Partition 2's
+        roll offsets must keep the count honest enough, and whatever
+        slack remains must stay on the SAFE side (superset support,
+        refine recovers tightness)."""
+        from mivos_tpu.ops.pallas.memory_read import C_BINS
+
+        k, m, n = 1, 16384, 64
+        mk = rng.randn(k, m, 128).astype(np.float32) * 0.02
+        q = rng.randn(n, 128).astype(np.float32)
+        # Plant 60 strong matches for every query at stride C_BINS.
+        hot = np.arange(60) * C_BINS + 7
+        mk[0, hot] = q.mean(0) / np.linalg.norm(q.mean(0)) * 4.0 \
+            + rng.randn(60, 128).astype(np.float32) * 0.05
+        mv = rng.randn(k, m, 512).astype(np.float32)
+        mk, mv, q = jnp.asarray(mk), jnp.asarray(mv), jnp.asarray(q)
+        exact = np.asarray(memory_read(mk, mv, q, top_k=50,
+                                       backend="xla_exact"))
+        full = np.asarray(memory_read(mk, mv, q, top_k=None))
+        errs = []
+        for nr in (0, 1, 2):
+            out = np.asarray(memory_read_pallas(
+                mk, mv, q, top_k=50, interpret=True, n_refine=nr))
+            errs.append(np.abs(out - exact).mean())
+        ef = np.abs(full - exact).mean()
+        # Degradation is bounded and in the SAFE direction (widening
+        # toward full softmax, never dropping true top-k mass)...
+        assert errs[0] < 0.8 * ef, (errs, ef)
+        # ...and each refine pass makes real progress back toward exact
+        # (measured 0.061 -> 0.037 -> 0.029 vs full-softmax 0.114).
+        assert errs[1] < 0.75 * errs[0], errs
+        assert errs[2] < errs[1], errs
+
     def test_unaligned_shapes_are_padded(self, rng):
         """N and M not multiples of the tile sizes: wrapper pads and
         un-pads; padded memory slots never leak into the readout."""
