@@ -44,6 +44,40 @@ class MemoryConfig:
     # mem_profile == 0 (device-resident scan path).
     bank_sharded: bool = False
     bank_axis: str = "data"
+    # Object sharding — multi-chip LATENCY scaling for one session. The
+    # object axis K is a pure batch axis through ~95% of per-frame FLOPs
+    # (per-object memory read + decoder + memorize; see the MFU table in
+    # PERF.md), so sharding it over `object_axis` of the Mesh passed to
+    # InferenceCore(mesh=...) splits each propagated frame's dominant
+    # compute across chips. GSPMD inserts the small cross-object
+    # collectives (the aggregate softmax/background product and the
+    # label argmax — O(K x H x W), no bank-sized traffic). Mutually
+    # exclusive with bank_sharded in this version (the bank path uses
+    # shard_map internally and does not compose with a second mesh
+    # axis); the reference is single-device (inference_core.py:36).
+    object_sharded: bool = False
+    object_axis: str = "object"
+    # Label-download codec for scan passes (ops/label_codec.py). Label
+    # maps are the per-round deliverable and the host link is slow, so
+    # how they ship matters: "packed" = dense adaptive 1/2/4-bit maps;
+    # "block" = block-sparse (uniform 8x8 blocks as one value + raw
+    # boundary blocks, ~7-12x smaller on segmentation content, dense
+    # per-frame fallback on pathological inputs); "auto" (default) =
+    # block when the class count is packable, else packed.
+    label_codec: str = "auto"
+    # Mixed-block buffer capacity as a fraction of the block count;
+    # frames whose boundary-block count exceeds it fall back to a dense
+    # fetch (label_codec doc above). 1/8 is ~5-10x the boundary share
+    # of typical multi-object masks.
+    label_block_cap_frac: float = 0.125
+
+    def __post_init__(self):
+        if self.label_codec not in ("auto", "packed", "block"):
+            raise ValueError(
+                f"label_codec must be auto/packed/block, got "
+                f"{self.label_codec!r}")
+        if not 0.0 < self.label_block_cap_frac <= 1.0:
+            raise ValueError("label_block_cap_frac must be in (0, 1]")
 
     @property
     def query_buf_size(self) -> int:
