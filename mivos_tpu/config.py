@@ -51,10 +51,12 @@ class MemoryConfig:
     # InferenceCore(mesh=...) splits each propagated frame's dominant
     # compute across chips. GSPMD inserts the small cross-object
     # collectives (the aggregate softmax/background product and the
-    # label argmax — O(K x H x W), no bank-sized traffic). Mutually
-    # exclusive with bank_sharded in this version (the bank path uses
-    # shard_map internally and does not compose with a second mesh
-    # axis); the reference is single-device (inference_core.py:36).
+    # label argmax — O(K x H x W), no bank-sized traffic). K must be
+    # divisible by the axis size (size the object axis to a divisor of
+    # K). Mutually exclusive with bank_sharded in this version (the
+    # bank path uses shard_map internally and does not compose with a
+    # second mesh axis); the reference is single-device
+    # (inference_core.py:36).
     object_sharded: bool = False
     object_axis: str = "object"
     # Label-download codec for scan passes (ops/label_codec.py). Label

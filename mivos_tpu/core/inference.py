@@ -302,9 +302,11 @@ class InferenceCore:
                  fuse_net: Optional[FusionNet], fuse_params,
                  images, num_objects: int,
                  mem: MemoryConfig = MemoryConfig(), mesh=None):
-        """mesh: jax.sharding.Mesh, required when mem.bank_sharded — the
-        session then keeps the memory bank's position axis sharded over
-        mem.bank_axis (exact sequence-parallel reads; SURVEY.md §5.7)."""
+        """mesh: jax.sharding.Mesh, required when mem.bank_sharded (the
+        session keeps the memory bank's position axis sharded over
+        mem.bank_axis — exact sequence-parallel reads, SURVEY.md §5.7)
+        or when mem.object_sharded (the object axis K is sharded over
+        mem.object_axis — per-frame latency scaling, see MemoryConfig)."""
         # MemoryConfig is the single source of truth for the read knobs:
         # top_k and km on the network are cloned to match, so callers
         # configure the memory read in exactly one place (the params are
@@ -315,14 +317,33 @@ class InferenceCore:
             if mem.mem_profile != 0:
                 raise ValueError("bank_sharded requires mem_profile=0 "
                                  "(device-resident scan path)")
+        if mem.object_sharded:
+            if mesh is None:
+                raise ValueError("object_sharded=True requires a mesh")
+            if mem.bank_sharded:
+                raise ValueError("object_sharded and bank_sharded are "
+                                 "mutually exclusive (see MemoryConfig)")
+            if num_objects % mesh.shape[mem.object_axis] != 0:
+                raise ValueError(
+                    f"object_sharded needs num_objects divisible by the "
+                    f"'{mem.object_axis}' axis size "
+                    f"({num_objects} % {mesh.shape[mem.object_axis]} != 0) "
+                    f"— size the object mesh axis to a divisor of K")
         bank_mesh = mesh if mem.bank_sharded else None
+        obj_mesh = mesh if mem.object_sharded else None
         desired = (mem.top_k, mem.km, bank_mesh,
-                   mem.bank_axis if mem.bank_sharded else prop_net.bank_axis)
+                   mem.bank_axis if mem.bank_sharded else prop_net.bank_axis,
+                   obj_mesh,
+                   mem.object_axis if mem.object_sharded
+                   else prop_net.object_axis)
         if desired != (prop_net.top_k, prop_net.km, prop_net.bank_mesh,
-                       prop_net.bank_axis):
+                       prop_net.bank_axis, prop_net.object_mesh,
+                       prop_net.object_axis):
             prop_net = prop_net.clone(top_k=mem.top_k, km=mem.km,
                                       bank_mesh=bank_mesh,
-                                      bank_axis=desired[3])
+                                      bank_axis=desired[3],
+                                      object_mesh=obj_mesh,
+                                      object_axis=desired[5])
         if prop_net.dtype == "bfloat16":
             prop_params = cast_params_bf16(prop_params)
             if fuse_params is not None and fuse_net is not None and \
@@ -431,8 +452,15 @@ class InferenceCore:
         if mem.bank_sharded:
             from mivos_tpu.parallel.sharded_memory import bank_sharding
 
-            bank_sh = bank_sharding(mesh, mem.bank_axis)
-            min_cap = mesh.shape[mem.bank_axis]
+            bank_sh, min_cap = bank_sharding(mesh, mem.bank_axis), \
+                mesh.shape[mem.bank_axis]
+        elif mem.object_sharded:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # Seed GSPMD from the carry: each chip owns its objects'
+            # bank rows end-to-end (uneven K is padded by GSPMD).
+            bank_sh, min_cap = NamedSharding(
+                mesh, P(mem.object_axis, None, None)), 1
         else:
             bank_sh, min_cap = None, 1
         self.bank = MemoryBank(self.k, self.n16,

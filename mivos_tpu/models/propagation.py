@@ -84,6 +84,28 @@ class PropagationNetwork(nn.Module):
     # step caches stay keyed per configuration.
     bank_mesh: Optional[object] = None
     bank_axis: str = "data"
+    # Object-parallel inference (MemoryConfig.object_sharded): when set,
+    # sharding constraints pin the K-batched heavy tensors (memorize
+    # encoder input, read output, decoder input) to `object_axis` of
+    # this mesh, so GSPMD keeps each chip on its own objects through the
+    # per-frame step and only the O(K x H x W) aggregate/argmax reduces
+    # cross objects. The Pallas read kernel is an unpartitionable custom
+    # call, so the read falls back to the XLA backends under object
+    # sharding (the read is 12% of step FLOPs — the decoder/memorize
+    # towers it parallelizes are the dominant 80%+).
+    object_mesh: Optional[object] = None
+    object_axis: str = "object"
+
+    def _obj(self, x: jax.Array) -> jax.Array:
+        """Constrain a K-leading tensor to the object axis (identity
+        when object_mesh is unset)."""
+        if self.object_mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P(self.object_axis, *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.object_mesh, spec))
 
     def setup(self):
         # 5-channel (RGB + this mask + others mask) memory encoder; the
@@ -110,10 +132,12 @@ class PropagationNetwork(nn.Module):
         frames = jnp.broadcast_to(frame[None], (k,) + frame.shape)
         others = compute_others(masks)
         x = jnp.concatenate([frames, masks, others], axis=-1)  # (K, H, W, 5)
+        x = self._obj(x)  # keep the 5-ch tower object-parallel
         f16, _, _ = self.mask_rgb_encoder(x)
         k16, v16 = self.kv_m_f16(f16)
         n = k16.shape[1] * k16.shape[2]
-        return k16.reshape(k, n, KEY_DIM), v16.reshape(k, n, VAL_DIM)
+        return (self._obj(k16.reshape(k, n, KEY_DIM)),
+                self._obj(v16.reshape(k, n, VAL_DIM)))
 
     def get_query_values(self, frame: jax.Array):
         """frame: (H, W, 3) -> pyramid + query key/value (all batch-1)."""
@@ -159,14 +183,21 @@ class PropagationNetwork(nn.Module):
                 else mem_k.shape[1],
                 valid=valid, axis=self.bank_axis)
         else:
-            readout = _memory_read(mem_k, mem_v, qk, top_k=self.top_k,
+            backend = self.read_backend
+            if self.object_mesh is not None and backend in ("auto", "pallas"):
+                # Pallas is an unpartitionable custom call; under object
+                # sharding the XLA approx path keeps the K-batched read
+                # partitioned (see the object_mesh attribute doc).
+                backend = "xla_approx"
+            readout = _memory_read(self._obj(mem_k), self._obj(mem_v), qk,
+                                   top_k=self.top_k,
                                    valid=valid, km=self.km,
                                    query_hw=(h16, w16),
-                                   backend=self.read_backend,
+                                   backend=backend,
                                    n_refine=self.read_refine)
-        readout = readout.reshape(k, h16, w16, VAL_DIM)
+        readout = self._obj(readout.reshape(k, h16, w16, VAL_DIM))
         qv = jnp.broadcast_to(v16, (k,) + v16.shape[1:])
-        m4 = jnp.concatenate([readout, qv], axis=-1)  # (K, h16, w16, 1024)
+        m4 = self._obj(jnp.concatenate([readout, qv], axis=-1))
         # f8/f4 stay batch-1: the decoder's skip towers are
         # object-independent, so they run ONCE and broadcast at the
         # residual add (the reference recomputes them per object via its
@@ -185,7 +216,7 @@ class PropagationNetwork(nn.Module):
         k, h, w, _ = pos_mask.shape
         h16, w16 = h // 16, w // 16
         qk = qk16.reshape(h16 * w16, KEY_DIM)
-        aff = full_softmax_affinity(mk16, qk)  # (K, M, N) softmax over M
+        aff = full_softmax_affinity(self._obj(mk16), qk)  # (K, M, N) softmax over M
         pos = area_downsample(pos_mask, 16).reshape(k, 1, h16 * w16)
         neg = area_downsample(neg_mask, 16).reshape(k, 1, h16 * w16)
         pos_map = jnp.einsum("kom,kmn->kon", pos, aff,

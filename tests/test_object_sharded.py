@@ -1,0 +1,134 @@
+"""Object-axis (K) sharded inference on the virtual CPU mesh.
+
+MemoryConfig.object_sharded splits each propagated frame's K-batched
+heavy phases (per-object memory read + decoder + memorize — the
+dominant FLOPs, see PERF.md's MFU table) across the mesh's object axis
+via GSPMD sharding constraints (models/propagation.py::_obj). The
+sharded session must match the single-device session; the reference has
+no distributed inference at all (reference inference_core.py:36).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mivos_tpu.config import MemoryConfig
+from mivos_tpu.core.inference import InferenceCore
+from mivos_tpu.models.propagation import PropagationNetwork
+from mivos_tpu.parallel.mesh import make_mesh
+
+TS, RH, RW = 8, 45, 62
+
+
+def _net(k):
+    prop = PropagationNetwork(top_k=10, read_backend="xla_exact")
+    frame = jnp.zeros((48, 64, 3))
+    masks = jnp.zeros((k, 48, 64, 1))
+    params = prop.init(jax.random.PRNGKey(0), frame, masks, frame)
+    images = np.random.RandomState(0).rand(TS, RH, RW, 3).astype(np.float32)
+    return prop, params, images
+
+
+def _mask(seed, k):
+    from mivos_tpu.utils.tensor import one_hot_mask
+
+    rng = np.random.RandomState(seed)
+    labels = jnp.asarray(rng.randint(0, k + 1, (RH, RW)))
+    fg = one_hot_mask(labels, k)
+    bg = 1.0 - fg.sum(0, keepdims=True)
+    return jnp.concatenate([bg, fg], axis=0)
+
+
+def _assert_sessions_match(ref, sh, outs):
+    for out_sh, out_ref in outs:
+        assert (out_sh == out_ref).mean() > 0.999
+    for ti in range(TS):
+        np.testing.assert_allclose(np.asarray(sh.get_prob(ti)),
+                                   np.asarray(ref.get_prob(ti)), atol=2e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+class TestObjectShardedSession:
+    def test_multiround_matches_single_device(self):
+        k = 2
+        prop, params, images = _net(k)
+        mesh = make_mesh(2, axis="object")
+        mem = MemoryConfig(top_k=10, mem_freq=2)
+        ref = InferenceCore(prop, params, None, None, images, k, mem=mem)
+        sh = InferenceCore(
+            prop, params, None, None, images, k,
+            mem=MemoryConfig(top_k=10, mem_freq=2, object_sharded=True),
+            mesh=mesh)
+        assert sh.prop_net.object_mesh is mesh
+        m1, m2 = _mask(1, k), _mask(2, k)
+        o_ref1 = ref.interact(m1, idx=0).copy()
+        o_sh1 = sh.interact(m1, idx=0).copy()
+        o_ref2 = ref.interact(m2, idx=TS - 1).copy()
+        o_sh2 = sh.interact(m2, idx=TS - 1).copy()
+        _assert_sessions_match(ref, sh, [(o_sh1, o_ref1), (o_sh2, o_ref2)])
+        # The bank carry really is object-sharded across the mesh.
+        assert len(sh.bank.keys.sharding.device_set) == 2
+
+    def test_k_three_objects_three_devices(self):
+        """K=3 over a 3-device object axis (axis size must divide K)."""
+        k = 3
+        prop, params, images = _net(k)
+        mesh = make_mesh(3, axis="object")
+        ref = InferenceCore(prop, params, None, None, images, k,
+                            mem=MemoryConfig(top_k=10, mem_freq=2))
+        sh = InferenceCore(
+            prop, params, None, None, images, k,
+            mem=MemoryConfig(top_k=10, mem_freq=2, object_sharded=True),
+            mesh=mesh)
+        m = _mask(3, k)
+        o_ref = ref.interact(m, idx=2).copy()
+        o_sh = sh.interact(m, idx=2).copy()
+        _assert_sessions_match(ref, sh, [(o_sh, o_ref)])
+
+    def test_fused_session_matches(self):
+        """Difference-aware fusion active: the K-batched attention read
+        and FusionNet run under the object constraint too."""
+        from mivos_tpu.models.fusion import FusionNet
+
+        k = 2
+        prop, params, images = _net(k)
+        fuse = FusionNet()
+        fp = fuse.init(jax.random.PRNGKey(1),
+                       jnp.zeros((k, 48, 64, 3)), jnp.zeros((k, 48, 64, 1)),
+                       jnp.zeros((k, 48, 64, 1)), jnp.zeros((k, 48, 64, 2)),
+                       jnp.zeros((k, 2)))
+        mesh = make_mesh(2, axis="object")
+        ref = InferenceCore(prop, params, fuse, fp, images, k,
+                            mem=MemoryConfig(top_k=10, mem_freq=2))
+        sh = InferenceCore(
+            prop, params, fuse, fp, images, k,
+            mem=MemoryConfig(top_k=10, mem_freq=2, object_sharded=True),
+            mesh=mesh)
+        ref.interact(_mask(5, k), idx=0)
+        sh.interact(_mask(5, k), idx=0)
+        o_ref = ref.interact(_mask(6, k), idx=TS - 1)
+        o_sh = sh.interact(_mask(6, k), idx=TS - 1)
+        _assert_sessions_match(ref, sh, [(o_sh, o_ref)])
+
+
+class TestObjectShardedValidation:
+    def test_requires_mesh(self):
+        prop, params, images = _net(1)
+        with pytest.raises(ValueError, match="requires a mesh"):
+            InferenceCore(prop, params, None, None, images, 1,
+                          mem=MemoryConfig(object_sharded=True))
+
+    def test_exclusive_with_bank_sharded(self):
+        prop, params, images = _net(1)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            InferenceCore(prop, params, None, None, images, 1,
+                          mem=MemoryConfig(object_sharded=True,
+                                           bank_sharded=True),
+                          mesh=make_mesh(2, axis="object"))
+
+    def test_k_must_divide_axis(self):
+        prop, params, images = _net(3)
+        with pytest.raises(ValueError, match="divisible"):
+            InferenceCore(prop, params, None, None, images, 3,
+                          mem=MemoryConfig(object_sharded=True),
+                          mesh=make_mesh(2, axis="object"))
