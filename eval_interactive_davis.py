@@ -24,6 +24,15 @@ def main():
     p.add_argument("--read_backend", default="auto",
                    help="memory-read backend: auto|pallas|xla_approx|"
                         "xla_exact (see ops/memory_read.py)")
+    p.add_argument("--bank_sharded", action="store_true",
+                   help="shard each session's memory bank position axis "
+                        "over all chips (long videos; MemoryConfig."
+                        "bank_sharded)")
+    p.add_argument("--object_shards", type=int, default=0,
+                   help="shard the object axis over this many chips "
+                        "(per-frame latency scaling; sequences whose "
+                        "object count is not divisible run unsharded). "
+                        "Composes with --bank_sharded on a 2D mesh.")
     p.add_argument("--local_robot", action="store_true",
                    help="use the in-repo scribble robot/session "
                         "(eval/robot.py) instead of the davisinteractive "
@@ -63,17 +72,33 @@ def main():
                   "in-repo robot (--local_robot).")
             use_local = True
 
-    mem = MemoryConfig(top_k=args.top_k, mem_freq=args.mem_freq)
+    mem = MemoryConfig(top_k=args.top_k, mem_freq=args.mem_freq,
+                       bank_sharded=args.bank_sharded,
+                       object_sharded=args.object_shards > 0)
+    mesh = None
+    if args.object_shards > 0 and args.bank_sharded:
+        from mivos_tpu.parallel.mesh import make_mesh_nd
+
+        mesh = make_mesh_nd(object=args.object_shards,
+                            data=len(jax.devices()) // args.object_shards)
+    elif args.object_shards > 0:
+        from mivos_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.object_shards, axis="object")
+    elif args.bank_sharded:
+        from mivos_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(len(jax.devices()))
     if use_local:
         summary = run_local_interactive_davis(
             prop_net, prop_params, fuse_net, fuse_params, s2m_net,
             s2m_params, davis_root=args.davis, mem=mem,
-            out_path=args.output, save_mask=args.save_mask)
+            out_path=args.output, save_mask=args.save_mask, mesh=mesh)
     else:
         summary = run_davis_interactive(
             prop_net, prop_params, fuse_net, fuse_params, s2m_net,
             s2m_params, davis_root=args.davis, out_path=args.output,
-            save_mask=args.save_mask, mem=mem)
+            save_mask=args.save_mask, mem=mem, mesh=mesh)
     print(summary)
 
 

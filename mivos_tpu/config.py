@@ -53,10 +53,11 @@ class MemoryConfig:
     # collectives (the aggregate softmax/background product and the
     # label argmax — O(K x H x W), no bank-sized traffic). K must be
     # divisible by the axis size (size the object axis to a divisor of
-    # K). Mutually exclusive with bank_sharded in this version (the
-    # bank path uses shard_map internally and does not compose with a
-    # second mesh axis); the reference is single-device
-    # (inference_core.py:36).
+    # K). Composes with bank_sharded on a 2D mesh carrying both axes
+    # (e.g. 8 chips = 2 object x 4 position): each device then owns its
+    # objects' slice of the bank, read/write collectives run over the
+    # position axis only, and the object axis stays embarrassingly
+    # parallel. The reference is single-device (inference_core.py:36).
     object_sharded: bool = False
     object_axis: str = "object"
     # Label-download codec for scan passes (ops/label_codec.py). Label

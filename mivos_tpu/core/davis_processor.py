@@ -24,15 +24,17 @@ from mivos_tpu.utils.tensor import compute_pad
 class DAVISProcessor:
     def __init__(self, prop_net, prop_params, fuse_net, fuse_params,
                  s2m_net, s2m_params, images, num_objects: int,
-                 mem: MemoryConfig = MemoryConfig()):
-        """images: (T, h, w, 3) normalized, UNPADDED."""
+                 mem: MemoryConfig = MemoryConfig(), mesh=None):
+        """images: (T, h, w, 3) normalized, UNPADDED. mesh: required for
+        the sharded session modes (MemoryConfig.bank_sharded /
+        object_sharded), forwarded to InferenceCore."""
         self.k = num_objects
         self.t, self.h, self.w = images.shape[:3]
         self.pad = compute_pad(self.h, self.w, 16)
 
         self.processor = InferenceCore(prop_net, prop_params, fuse_net,
                                        fuse_params, images, num_objects,
-                                       mem=mem)
+                                       mem=mem, mesh=mesh)
         self.nh, self.nw = self.processor.nh, self.processor.nw
         # DAVIS scribbles use -1 as "no scribble" and thicken with a 3x3
         # dilation (reference davis_processor.py:53-60).

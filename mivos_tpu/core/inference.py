@@ -99,9 +99,11 @@ def build_step_fns(prop_net: PropagationNetwork, fuse_net: Optional[FusionNet]):
             from mivos_tpu.parallel.sharded_memory import sharded_bank_write
 
             bank_k = sharded_bank_write(prop_net.bank_mesh, bank_k, mk,
-                                        write_row, prop_net.bank_axis)
+                                        write_row, prop_net.bank_axis,
+                                        prop_net.bank_object_axis)
             bank_v = sharded_bank_write(prop_net.bank_mesh, bank_v, mv,
-                                        write_row, prop_net.bank_axis)
+                                        write_row, prop_net.bank_axis,
+                                        prop_net.bank_object_axis)
         else:
             bank_k = jax.lax.dynamic_update_slice(bank_k, mk,
                                                   (0, write_row, 0))
@@ -231,9 +233,11 @@ def build_scan_pass(prop_net: PropagationNetwork,
             from mivos_tpu.parallel.sharded_memory import sharded_bank_write
 
             bank_k = sharded_bank_write(prop_net.bank_mesh, bank_k, mk,
-                                        wrow, prop_net.bank_axis)
+                                        wrow, prop_net.bank_axis,
+                                        prop_net.bank_object_axis)
             bank_v = sharded_bank_write(prop_net.bank_mesh, bank_v, mv,
-                                        wrow, prop_net.bank_axis)
+                                        wrow, prop_net.bank_axis,
+                                        prop_net.bank_object_axis)
         else:
             bank_k = jax.lax.dynamic_update_slice(bank_k, mk, (0, wrow, 0))
             bank_v = jax.lax.dynamic_update_slice(bank_v, mv, (0, wrow, 0))
@@ -320,9 +324,11 @@ class InferenceCore:
         if mem.object_sharded:
             if mesh is None:
                 raise ValueError("object_sharded=True requires a mesh")
-            if mem.bank_sharded:
-                raise ValueError("object_sharded and bank_sharded are "
-                                 "mutually exclusive (see MemoryConfig)")
+            if mem.object_axis not in mesh.axis_names:
+                raise ValueError(
+                    f"object_sharded needs axis {mem.object_axis!r} in the "
+                    f"mesh (axes: {mesh.axis_names}); combining with "
+                    f"bank_sharded takes a 2D mesh with both axes")
             if num_objects % mesh.shape[mem.object_axis] != 0:
                 raise ValueError(
                     f"object_sharded needs num_objects divisible by the "
@@ -452,13 +458,16 @@ class InferenceCore:
         if mem.bank_sharded:
             from mivos_tpu.parallel.sharded_memory import bank_sharding
 
-            bank_sh, min_cap = bank_sharding(mesh, mem.bank_axis), \
-                mesh.shape[mem.bank_axis]
+            # 2D (object x position) layout when object_sharded too.
+            bank_sh = bank_sharding(
+                mesh, mem.bank_axis,
+                mem.object_axis if mem.object_sharded else None)
+            min_cap = mesh.shape[mem.bank_axis]
         elif mem.object_sharded:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             # Seed GSPMD from the carry: each chip owns its objects'
-            # bank rows end-to-end (uneven K is padded by GSPMD).
+            # bank rows end-to-end.
             bank_sh, min_cap = NamedSharding(
                 mesh, P(mem.object_axis, None, None)), 1
         else:

@@ -21,6 +21,26 @@ from mivos_tpu.data.video_datasets import DAVISTestDataset
 from mivos_tpu.utils.palette import save_indexed_png
 
 
+def _adapt_sharding(mem: MemoryConfig, mesh, k: int):
+    """Per-sequence sharding downgrade: object counts vary across DAVIS
+    sequences, and object sharding needs K divisible by the object axis
+    (see MemoryConfig). Sequences that don't divide run object-unsharded
+    (bank sharding, if requested, keeps a position-only mesh over the
+    same devices)."""
+    if not mem.object_sharded or mesh is None or \
+            k % mesh.shape[mem.object_axis] == 0:
+        return mem, mesh
+    import dataclasses
+
+    mem2 = dataclasses.replace(mem, object_sharded=False)
+    if not mem.bank_sharded:
+        return mem2, None
+    from jax.sharding import Mesh
+
+    devs = np.asarray(mesh.devices).reshape(-1)
+    return mem2, Mesh(devs, (mem.bank_axis,))
+
+
 def run_davis_interactive(prop_net, prop_params, fuse_net, fuse_params,
                           s2m_net, s2m_params, davis_root: str,
                           out_path: str,
@@ -29,7 +49,8 @@ def run_davis_interactive(prop_net, prop_params, fuse_net, fuse_params,
                           save_mask: bool = False,
                           mem: MemoryConfig = MemoryConfig(),
                           subset: str = "trainval",
-                          imset: str = "2017/val.txt") -> Dict:
+                          imset: str = "2017/val.txt",
+                          mesh=None) -> Dict:
     """Runs the full DavisInteractiveSession and returns the global
     summary dict (AUC-J&F, J&F@60s — reference
     eval_interactive_davis.py:74-108). subset/imset select the DAVIS
@@ -64,10 +85,12 @@ def run_davis_interactive(prop_net, prop_params, fuse_net, fuse_params,
                 # All per-sequence cached features are flushed here, as
                 # in the reference (eval_interactive_davis.py:79-84).
                 del processor
+                seq_mem, seq_mesh = _adapt_sharding(
+                    mem, mesh, num_objects[sequence])
                 processor = DAVISProcessor(
                     prop_net, prop_params, fuse_net, fuse_params,
                     s2m_net, s2m_params, images[sequence],
-                    num_objects[sequence], mem=mem)
+                    num_objects[sequence], mem=seq_mem, mesh=seq_mesh)
                 print(sequence)
                 if save_mask and pred_masks is not None:
                     _save_masks(out_path, user_iter, last_seq, pred_masks)
@@ -92,7 +115,8 @@ def run_local_interactive(prop_net, prop_params, fuse_net, fuse_params,
                           max_time_per_interaction: int = 30,
                           mem: MemoryConfig = MemoryConfig(),
                           out_path: Optional[str] = None,
-                          save_mask: bool = False) -> Dict:
+                          save_mask: bool = False,
+                          mesh=None) -> Dict:
     """Hermetic variant of run_davis_interactive: the in-repo robot and
     session (eval/robot.py) replace the external `davisinteractive`
     package, so the full scribble->S2M->propagate->fuse protocol runs
@@ -123,9 +147,11 @@ def run_local_interactive(prop_net, prop_params, fuse_net, fuse_params,
                 if callable(im):
                     im = im()
                 del processor
+                seq_mem, seq_mesh = _adapt_sharding(mem, mesh, k)
                 processor = DAVISProcessor(
                     prop_net, prop_params, fuse_net, fuse_params,
-                    s2m_net, s2m_params, im, k, mem=mem)
+                    s2m_net, s2m_params, im, k, mem=seq_mem,
+                    mesh=seq_mesh)
             if is_empty(scribbles):
                 # Perfect prediction: the robot found nothing to
                 # correct; the round passes with the mask unchanged.
@@ -155,7 +181,8 @@ def run_local_interactive_davis(prop_net, prop_params, fuse_net,
                                 subset: str = "trainval",
                                 imset: str = "2017/val.txt",
                                 out_path: Optional[str] = None,
-                                save_mask: bool = False) -> Dict:
+                                save_mask: bool = False,
+                                mesh=None) -> Dict:
     """run_local_interactive over the on-disk DAVIS split: GT labels
     are loaded up front (small), videos lazily per sequence. The
     hermetic-robot counterpart of run_davis_interactive for sandboxes
@@ -178,7 +205,7 @@ def run_local_interactive_davis(prop_net, prop_params, fuse_net,
         prop_net, prop_params, fuse_net, fuse_params, s2m_net, s2m_params,
         sequences, max_nb_interactions=max_nb_interactions,
         max_time_per_interaction=max_time_per_interaction, mem=mem,
-        out_path=out_path, save_mask=save_mask)
+        out_path=out_path, save_mask=save_mask, mesh=mesh)
 
 
 def _save_masks(out_path: str, user_iter: int, seq: str,

@@ -96,6 +96,15 @@ class PropagationNetwork(nn.Module):
     object_mesh: Optional[object] = None
     object_axis: str = "object"
 
+    @property
+    def bank_object_axis(self):
+        """Object axis of the sharded-bank shard_maps when the 2D
+        (object x position) layout is active — i.e. when bank_mesh and
+        object_mesh are both set (they are then the same Mesh)."""
+        if self.bank_mesh is not None and self.object_mesh is not None:
+            return self.object_axis
+        return None
+
     def _obj(self, x: jax.Array) -> jax.Array:
         """Constrain a K-leading tensor to the object axis (identity
         when object_mesh is unset)."""
@@ -181,7 +190,8 @@ class PropagationNetwork(nn.Module):
                 self.bank_mesh, mem_k, mem_v, qk,
                 top_k=self.top_k if self.top_k is not None
                 else mem_k.shape[1],
-                valid=valid, axis=self.bank_axis)
+                valid=valid, axis=self.bank_axis,
+                object_axis=self.bank_object_axis)
         else:
             backend = self.read_backend
             if self.object_mesh is not None and backend in ("auto", "pallas"):

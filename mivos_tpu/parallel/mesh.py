@@ -24,6 +24,18 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+def make_mesh_nd(**axes: int) -> Mesh:
+    """N-D mesh from axis=size kwargs, e.g. make_mesh_nd(object=2, data=4)
+    — the 2D inference layout (MemoryConfig.object_sharded +
+    bank_sharded). Axis order follows kwarg order (major first)."""
+    n = int(np.prod(list(axes.values())))
+    devs = jax.devices()
+    if len(devs) < n:
+        raise ValueError(f"need {n} devices, have {len(devs)}")
+    return Mesh(np.asarray(devs[:n]).reshape(tuple(axes.values())),
+                tuple(axes))
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Leading-axis (batch) sharding for data parallelism."""
     return NamedSharding(mesh, P(axis))

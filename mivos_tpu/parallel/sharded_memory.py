@@ -35,15 +35,24 @@ NEG_INF = -1e30
 def sharded_memory_read(mesh: Mesh, mem_k: jax.Array, mem_v: jax.Array,
                         query_k: jax.Array, top_k: int = 50,
                         valid: Optional[jax.Array] = None,
-                        axis: str = "data") -> jax.Array:
+                        axis: str = "data",
+                        object_axis: Optional[str] = None) -> jax.Array:
     """mem_k (K, M, CK), mem_v (K, M, CV) sharded (or shardable) on M;
     query_k (N, CK) replicated. M must divide the axis size. Returns the
-    replicated (K, N, CV) readout, exactly equal to the single-device
-    exact top-k read."""
+    (K, N, CV) readout, exactly equal to the single-device exact top-k
+    read — replicated, or sharded on K when `object_axis` names a second
+    mesh axis (the 2D object x position layout: each device owns its
+    objects' bank slice, collectives run over the position axis only,
+    and the object axis stays embarrassingly parallel)."""
     k, m, ck = mem_k.shape
     n = query_k.shape[0]
     d = mesh.shape[axis]
     assert m % d == 0, (m, d)
+    if object_axis is not None:
+        k_local = k // mesh.shape[object_axis]
+        assert k % mesh.shape[object_axis] == 0, (k, mesh.shape[object_axis])
+        k = k_local
+    obj = object_axis  # spec shorthand (None = replicated over objects)
     if valid is None:
         valid = jnp.ones((m,), bool)
     scale = 1.0 / math.sqrt(ck)
@@ -70,25 +79,30 @@ def sharded_memory_read(mesh: Mesh, mem_k: jax.Array, mem_v: jax.Array,
 
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(None, axis, None), P(None, axis, None), P(), P(axis)),
-        out_specs=P())
+        in_specs=(P(obj, axis, None), P(obj, axis, None), P(), P(axis)),
+        out_specs=P(obj))
     return fn(mem_k, mem_v, query_k, valid)
 
 
 def shard_bank(mesh: Mesh, mem_k: jax.Array, mem_v: jax.Array,
-               axis: str = "data"):
-    """Place a bank with its position axis sharded over `axis`."""
-    sh = NamedSharding(mesh, P(None, axis, None))
+               axis: str = "data",
+               object_axis: Optional[str] = None):
+    """Place a bank with its position axis sharded over `axis` (and its
+    object axis over `object_axis` when given)."""
+    sh = bank_sharding(mesh, axis, object_axis)
     return jax.device_put(mem_k, sh), jax.device_put(mem_v, sh)
 
 
-def bank_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """The (K, M, C) position-axis sharding of a distributed bank."""
-    return NamedSharding(mesh, P(None, axis, None))
+def bank_sharding(mesh: Mesh, axis: str = "data",
+                  object_axis: Optional[str] = None) -> NamedSharding:
+    """The (K, M, C) sharding of a distributed bank: position axis over
+    `axis`, optionally the object axis over `object_axis` (2D layout)."""
+    return NamedSharding(mesh, P(object_axis, axis, None))
 
 
 def sharded_bank_write(mesh: Mesh, bank: jax.Array, data: jax.Array,
-                       row, axis: str = "data") -> jax.Array:
+                       row, axis: str = "data",
+                       object_axis: Optional[str] = None) -> jax.Array:
     """Write one frame's (K, n, C) rows at global row offset `row` into a
     position-sharded (K, M, C) bank WITHOUT gathering it.
 
@@ -101,6 +115,9 @@ def sharded_bank_write(mesh: Mesh, bank: jax.Array, data: jax.Array,
     schedule)."""
     d = mesh.shape[axis]
     k, m, c = bank.shape
+    if object_axis is not None:
+        assert k % mesh.shape[object_axis] == 0, (k, mesh.shape[object_axis])
+        k //= mesh.shape[object_axis]
     local_m = m // d
     n = data.shape[1]
     assert m % d == 0 and local_m >= n, (m, d, n)
@@ -114,7 +131,8 @@ def sharded_bank_write(mesh: Mesh, bank: jax.Array, data: jax.Array,
         mixed = jnp.where(owns, dat.astype(bk.dtype), old)
         return jax.lax.dynamic_update_slice(bk, mixed, (0, lc, 0))
 
+    obj = object_axis
     fn = jax.shard_map(local, mesh=mesh,
-                       in_specs=(P(None, axis, None), P(), P()),
-                       out_specs=P(None, axis, None))
+                       in_specs=(P(obj, axis, None), P(obj), P()),
+                       out_specs=P(obj, axis, None))
     return fn(bank, data, jnp.asarray(row, jnp.int32))

@@ -111,6 +111,109 @@ class TestObjectShardedSession:
         _assert_sessions_match(ref, sh, [(o_sh, o_ref)])
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+class TestObjectBank2D:
+    """object_sharded + bank_sharded compose on a 2D mesh: each device
+    owns its objects' slice of the bank, the exact-top-k read/write
+    collectives run over the position axis only."""
+
+    def test_2d_read_matches_exact(self):
+        from mivos_tpu.ops.memory_read import memory_read
+        from mivos_tpu.parallel.mesh import make_mesh_nd
+        from mivos_tpu.parallel.sharded_memory import (shard_bank,
+                                                       sharded_memory_read)
+
+        rng = np.random.RandomState(7)
+        k, m, n, ck, cv = 2, 1024, 96, 128, 256
+        mk = jnp.asarray(rng.randn(k, m, ck).astype(np.float32))
+        mv = jnp.asarray(rng.randn(k, m, cv).astype(np.float32))
+        q = jnp.asarray(rng.randn(n, ck).astype(np.float32))
+        valid = jnp.arange(m) < 900
+        ref = memory_read(mk, mv, q, top_k=20, valid=valid,
+                          backend="xla_exact")
+        mesh = make_mesh_nd(object=2, data=4)
+        smk, smv = shard_bank(mesh, mk, mv, object_axis="object")
+        out = sharded_memory_read(mesh, smk, smv, q, top_k=20, valid=valid,
+                                  object_axis="object")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4)
+
+    def test_2d_session_matches_single_device(self):
+        from mivos_tpu.parallel.mesh import make_mesh_nd
+
+        k = 2
+        prop, params, images = _net(k)
+        mesh = make_mesh_nd(object=2, data=4)
+        ref = InferenceCore(prop, params, None, None, images, k,
+                            mem=MemoryConfig(top_k=10, mem_freq=2))
+        sh = InferenceCore(
+            prop, params, None, None, images, k,
+            mem=MemoryConfig(top_k=10, mem_freq=2, object_sharded=True,
+                             bank_sharded=True), mesh=mesh)
+        assert sh.prop_net.bank_object_axis == "object"
+        m1, m2 = _mask(1, k), _mask(2, k)
+        o_ref1 = ref.interact(m1, idx=0).copy()
+        o_sh1 = sh.interact(m1, idx=0).copy()
+        o_ref2 = ref.interact(m2, idx=TS - 1).copy()
+        o_sh2 = sh.interact(m2, idx=TS - 1).copy()
+        _assert_sessions_match(ref, sh, [(o_sh1, o_ref1), (o_sh2, o_ref2)])
+        assert len(sh.bank.keys.sharding.device_set) == 8
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+class TestEvalPlumbing:
+    """The sharded session modes are reachable from the DAVIS protocol
+    entry (eval_interactive_davis.py --bank_sharded/--object_shards)."""
+
+    def test_adapt_sharding_downgrades_indivisible_k(self):
+        import dataclasses
+
+        from mivos_tpu.eval.davis_interactive import _adapt_sharding
+        from mivos_tpu.parallel.mesh import make_mesh_nd
+
+        mem = MemoryConfig(object_sharded=True, bank_sharded=True)
+        mesh = make_mesh_nd(object=2, data=4)
+        # Divisible K: unchanged.
+        m2, s2 = _adapt_sharding(mem, mesh, 4)
+        assert m2 is mem and s2 is mesh
+        # Indivisible K: object sharding dropped, bank kept on a 1D mesh.
+        m3, s3 = _adapt_sharding(mem, mesh, 3)
+        assert not m3.object_sharded and m3.bank_sharded
+        assert s3.axis_names == ("data",) and s3.size == 8
+        # Object-only config with indivisible K: fully unsharded.
+        m4, s4 = _adapt_sharding(
+            dataclasses.replace(mem, bank_sharded=False), mesh, 3)
+        assert not m4.object_sharded and s4 is None
+
+    def test_local_protocol_with_object_sharding(self):
+        """Full hermetic protocol (robot -> S2M -> propagate) with an
+        object mesh; one sequence divides K, the other downgrades."""
+        from mivos_tpu.eval.davis_interactive import run_local_interactive
+        from mivos_tpu.models.s2m import S2MNetwork
+
+        t, h, w = 3, 48, 64
+        rng = np.random.RandomState(3)
+        prop, params, _ = _net(2)
+        s2m = S2MNetwork()
+        sp = s2m.init(jax.random.PRNGKey(2), jnp.zeros((2, h, w, 6)))
+
+        sequences = {}
+        for name, k in (("two", 2), ("one", 1)):
+            images = rng.rand(t, h, w, 3).astype(np.float32)
+            gt = np.zeros((t, h, w), np.int32)
+            gt[:, 8:24, 8:28] = 1
+            if k == 2:
+                gt[:, 28:44, 36:60] = 2
+            sequences[name] = (images, gt, k)
+
+        summary = run_local_interactive(
+            prop, params, None, None, s2m, sp, sequences,
+            max_nb_interactions=2, max_time_per_interaction=1000,
+            mem=MemoryConfig(top_k=10, mem_freq=2, object_sharded=True),
+            mesh=make_mesh(2, axis="object"))
+        assert 0.0 <= summary["auc"] <= 1.0
+
+
 class TestObjectShardedValidation:
     def test_requires_mesh(self):
         prop, params, images = _net(1)
@@ -118,13 +221,13 @@ class TestObjectShardedValidation:
             InferenceCore(prop, params, None, None, images, 1,
                           mem=MemoryConfig(object_sharded=True))
 
-    def test_exclusive_with_bank_sharded(self):
+    def test_both_need_a_2d_mesh_with_both_axes(self):
         prop, params, images = _net(1)
-        with pytest.raises(ValueError, match="mutually exclusive"):
+        with pytest.raises(ValueError, match="2D mesh"):
             InferenceCore(prop, params, None, None, images, 1,
                           mem=MemoryConfig(object_sharded=True,
                                            bank_sharded=True),
-                          mesh=make_mesh(2, axis="object"))
+                          mesh=make_mesh(2, axis="data"))
 
     def test_k_must_divide_axis(self):
         prop, params, images = _net(3)
