@@ -33,6 +33,11 @@ def main():
                         "(per-frame latency scaling; sequences whose "
                         "object count is not divisible run unsharded). "
                         "Composes with --bank_sharded on a 2D mesh.")
+    p.add_argument("--fleet", action="store_true",
+                   help="fan sequences across all chips, one full "
+                        "session per sequence per chip (implies "
+                        "--local_robot; exclusive with the sharded "
+                        "session flags)")
     p.add_argument("--local_robot", action="store_true",
                    help="use the in-repo scribble robot/session "
                         "(eval/robot.py) instead of the davisinteractive "
@@ -79,8 +84,13 @@ def main():
     if args.object_shards > 0 and args.bank_sharded:
         from mivos_tpu.parallel.mesh import make_mesh_nd
 
+        nd = len(jax.devices())
+        if nd % args.object_shards or nd < args.object_shards:
+            raise SystemExit(
+                f"--object_shards {args.object_shards} must divide the "
+                f"device count ({nd}) when combined with --bank_sharded")
         mesh = make_mesh_nd(object=args.object_shards,
-                            data=len(jax.devices()) // args.object_shards)
+                            data=nd // args.object_shards)
     elif args.object_shards > 0:
         from mivos_tpu.parallel.mesh import make_mesh
 
@@ -89,7 +99,15 @@ def main():
         from mivos_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(len(jax.devices()))
-    if use_local:
+    if args.fleet:
+        if mesh is not None:
+            raise SystemExit("--fleet is exclusive with --bank_sharded/"
+                             "--object_shards (one session per chip)")
+        summary = run_local_interactive_davis(
+            prop_net, prop_params, fuse_net, fuse_params, s2m_net,
+            s2m_params, davis_root=args.davis, mem=mem,
+            out_path=args.output, save_mask=args.save_mask, fleet=True)
+    elif use_local:
         summary = run_local_interactive_davis(
             prop_net, prop_params, fuse_net, fuse_params, s2m_net,
             s2m_params, davis_root=args.davis, mem=mem,

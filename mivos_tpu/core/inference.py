@@ -318,6 +318,11 @@ class InferenceCore:
         if mem.bank_sharded:
             if mesh is None:
                 raise ValueError("bank_sharded=True requires a mesh")
+            if mem.bank_axis not in mesh.axis_names:
+                raise ValueError(
+                    f"bank_sharded needs axis {mem.bank_axis!r} in the "
+                    f"mesh (axes: {mesh.axis_names}); combining with "
+                    f"object_sharded takes a 2D mesh with both axes")
             if mem.mem_profile != 0:
                 raise ValueError("bank_sharded requires mem_profile=0 "
                                  "(device-resident scan path)")

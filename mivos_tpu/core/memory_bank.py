@@ -28,6 +28,29 @@ def _write_slot(bank: jax.Array, data: jax.Array, row_start: jax.Array) -> jax.A
     return jax.lax.dynamic_update_slice(bank, data, (0, row_start, 0))
 
 
+@functools.lru_cache(maxsize=64)
+def _alloc_fn(k: int, rows: int, key_dim: int, val_dim: int, dtype, sharding,
+              init_rows: int):
+    """Bank allocator, cached per (shape, dtype, sharding) so sharded
+    resets reuse one executable. With a sharding, the zeros (and the
+    certain-memory seed write) materialize DIRECTLY sharded via
+    out_shardings — never as a single-device array that would OOM
+    device 0 for banks beyond one chip's HBM (the bank_sharded target
+    workload) and then pay a full-bank reshard."""
+
+    def build(ik, iv):
+        ks = jnp.zeros((k, rows, key_dim), dtype)
+        vs = jnp.zeros((k, rows, val_dim), dtype)
+        if init_rows:
+            ks = jax.lax.dynamic_update_slice(ks, ik.astype(dtype), (0, 0, 0))
+            vs = jax.lax.dynamic_update_slice(vs, iv.astype(dtype), (0, 0, 0))
+        return ks, vs
+
+    if sharding is not None:
+        return jax.jit(build, out_shardings=(sharding, sharding))
+    return build
+
+
 class MemoryBank:
     """Host-managed device memory bank for one propagation pass."""
 
@@ -56,21 +79,17 @@ class MemoryBank:
         (+1 transient), optionally seeding the first slots from
         (K, s*n, C) certain-memory arrays."""
         cap = next_bucket(max(total_slots + 1, self.min_cap), self.buckets)
-        assert cap % self.min_cap == 0, (cap, self.min_cap)
+        if cap % self.min_cap:
+            # Non-power-of-two mesh axes (e.g. a 6-chip bank axis):
+            # round up to whole slots per shard. Still O(log T) distinct
+            # caps per process, so executables stay shared.
+            cap += self.min_cap - cap % self.min_cap
         self.cap = cap
-        self.keys = jnp.zeros((self.k, cap * self.n, self.key_dim), self.dtype)
-        self.values = jnp.zeros((self.k, cap * self.n, self.val_dim), self.dtype)
-        self.num_slots = 0
-        if init_k is not None:
-            s = init_k.shape[1] // self.n
-            self.keys = jax.lax.dynamic_update_slice(
-                self.keys, init_k.astype(self.dtype), (0, 0, 0))
-            self.values = jax.lax.dynamic_update_slice(
-                self.values, init_v.astype(self.dtype), (0, 0, 0))
-            self.num_slots = s
-        if self.sharding is not None:
-            self.keys = jax.device_put(self.keys, self.sharding)
-            self.values = jax.device_put(self.values, self.sharding)
+        init_rows = 0 if init_k is None else init_k.shape[1]
+        fn = _alloc_fn(self.k, cap * self.n, self.key_dim, self.val_dim,
+                       self.dtype, self.sharding, init_rows)
+        self.keys, self.values = fn(init_k, init_v)
+        self.num_slots = init_rows // self.n
 
     def write(self, slot: int, mk: jax.Array, mv: jax.Array) -> None:
         """Write one frame's keys/values (K, n, C) into `slot` (may be the

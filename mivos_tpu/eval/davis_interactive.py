@@ -116,7 +116,8 @@ def run_local_interactive(prop_net, prop_params, fuse_net, fuse_params,
                           mem: MemoryConfig = MemoryConfig(),
                           out_path: Optional[str] = None,
                           save_mask: bool = False,
-                          mesh=None) -> Dict:
+                          mesh=None,
+                          write_summary: bool = True) -> Dict:
     """Hermetic variant of run_davis_interactive: the in-repo robot and
     session (eval/robot.py) replace the external `davisinteractive`
     package, so the full scribble->S2M->propagate->fuse protocol runs
@@ -163,12 +164,63 @@ def run_local_interactive(prop_net, prop_params, fuse_net, fuse_params,
             if save_mask and out_path:
                 _save_masks(out_path, rnd, name, pred_masks)
     summary = sess.get_global_summary(
-        save_file=path.join(out_path, "summary.json") if out_path else None)
+        save_file=path.join(out_path, "summary.json")
+        if out_path and write_summary else None)
     # Raw per-sequence (cumulative_algo_seconds, J&F) trajectories — the
     # summary curve is a resampled grid; benchmarking scripts need the
     # actual per-round timings (reference budget: 240 s/sequence,
     # eval_interactive_davis.py:74).
     summary["records"] = sess.get_report()
+    return summary
+
+
+def run_local_interactive_fleet(prop_net, prop_params, fuse_net,
+                                fuse_params, s2m_net, s2m_params,
+                                sequences: Dict,
+                                max_nb_interactions: int = 8,
+                                max_time_per_interaction: int = 30,
+                                mem: MemoryConfig = MemoryConfig(),
+                                out_path: Optional[str] = None,
+                                save_mask: bool = False,
+                                devices=None) -> Dict:
+    """Fleet-parallel run_local_interactive: sequences fan out across
+    chips (one full multi-round session per sequence, work-stealing —
+    eval/fleet.py), per-sequence J&F trajectories merge into one global
+    summary. Robot state is per-sequence, so each sequence's protocol is
+    identical to the serial run; only wall-clock timings differ. Not
+    composable with the sharded session modes (a sharded session spans
+    chips; a fleet pins one session per chip)."""
+    from mivos_tpu.eval.davis_metrics import summarize_session
+    from mivos_tpu.eval.fleet import fleet_map
+
+    if mem.bank_sharded or mem.object_sharded:
+        raise ValueError("fleet evaluation and sharded sessions are "
+                         "mutually exclusive (one session per chip)")
+
+    def one(name):
+        return run_local_interactive(
+            prop_net, prop_params, fuse_net, fuse_params, s2m_net,
+            s2m_params, {name: sequences[name]},
+            max_nb_interactions=max_nb_interactions,
+            max_time_per_interaction=max_time_per_interaction, mem=mem,
+            out_path=out_path if save_mask else None, save_mask=save_mask,
+            write_summary=False)
+
+    results = fleet_map(one, list(sequences), devices=devices)
+    records = {}
+    for r in results:
+        records.update(r["records"])
+    summary = summarize_session(
+        records, max_time=max_nb_interactions * max_time_per_interaction)
+    summary["auc_jf"] = summary["auc"]
+    summary["records"] = records
+    if out_path:
+        import json
+
+        os.makedirs(out_path, exist_ok=True)
+        with open(path.join(out_path, "summary.json"), "w") as f:
+            json.dump({k: v for k, v in summary.items()
+                       if k != "records"}, f, indent=2)
     return summary
 
 
@@ -182,7 +234,8 @@ def run_local_interactive_davis(prop_net, prop_params, fuse_net,
                                 imset: str = "2017/val.txt",
                                 out_path: Optional[str] = None,
                                 save_mask: bool = False,
-                                mesh=None) -> Dict:
+                                mesh=None,
+                                fleet: bool = False) -> Dict:
     """run_local_interactive over the on-disk DAVIS split: GT labels
     are loaded up front (small), videos lazily per sequence. The
     hermetic-robot counterpart of run_davis_interactive for sandboxes
@@ -201,6 +254,13 @@ def run_local_interactive_davis(prop_net, prop_params, fuse_net,
             gt[lab == obj] = k + 1             # matching the processor
         loader = (lambda j=i: np.asarray(dataset[j]["rgb"]))
         sequences[name] = (loader, gt, len(ids))
+    if fleet:
+        return run_local_interactive_fleet(
+            prop_net, prop_params, fuse_net, fuse_params, s2m_net,
+            s2m_params, sequences,
+            max_nb_interactions=max_nb_interactions,
+            max_time_per_interaction=max_time_per_interaction, mem=mem,
+            out_path=out_path, save_mask=save_mask)
     return run_local_interactive(
         prop_net, prop_params, fuse_net, fuse_params, s2m_net, s2m_params,
         sequences, max_nb_interactions=max_nb_interactions,

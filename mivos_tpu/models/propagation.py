@@ -89,10 +89,10 @@ class PropagationNetwork(nn.Module):
     # encoder input, read output, decoder input) to `object_axis` of
     # this mesh, so GSPMD keeps each chip on its own objects through the
     # per-frame step and only the O(K x H x W) aggregate/argmax reduces
-    # cross objects. The Pallas read kernel is an unpartitionable custom
-    # call, so the read falls back to the XLA backends under object
-    # sharding (the read is 12% of step FLOPs — the decoder/memorize
-    # towers it parallelizes are the dominant 80%+).
+    # cross objects. The memory read runs as a per-object shard_map
+    # (parallel/sharded_memory.object_sharded_memory_read) so the fused
+    # Pallas kernel stays usable per shard — GSPMD alone would
+    # all-gather around the unpartitionable custom call.
     object_mesh: Optional[object] = None
     object_axis: str = "object"
 
@@ -192,18 +192,25 @@ class PropagationNetwork(nn.Module):
                 else mem_k.shape[1],
                 valid=valid, axis=self.bank_axis,
                 object_axis=self.bank_object_axis)
+        elif self.object_mesh is not None:
+            # Per-object manual read: shard_map keeps the fused Pallas
+            # kernel usable per shard (GSPMD would all-gather around the
+            # unpartitionable custom call). Zero collectives — reads are
+            # object-independent.
+            from mivos_tpu.parallel.sharded_memory import (
+                object_sharded_memory_read)
+
+            readout = object_sharded_memory_read(
+                self.object_mesh, mem_k, mem_v, qk, top_k=self.top_k,
+                valid=valid, axis=self.object_axis, km=self.km,
+                query_hw=(h16, w16), backend=self.read_backend,
+                n_refine=self.read_refine)
         else:
-            backend = self.read_backend
-            if self.object_mesh is not None and backend in ("auto", "pallas"):
-                # Pallas is an unpartitionable custom call; under object
-                # sharding the XLA approx path keeps the K-batched read
-                # partitioned (see the object_mesh attribute doc).
-                backend = "xla_approx"
             readout = _memory_read(self._obj(mem_k), self._obj(mem_v), qk,
                                    top_k=self.top_k,
                                    valid=valid, km=self.km,
                                    query_hw=(h16, w16),
-                                   backend=backend,
+                                   backend=self.read_backend,
                                    n_refine=self.read_refine)
         readout = self._obj(readout.reshape(k, h16, w16, VAL_DIM))
         qv = jnp.broadcast_to(v16, (k,) + v16.shape[1:])

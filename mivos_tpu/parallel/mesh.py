@@ -28,6 +28,8 @@ def make_mesh_nd(**axes: int) -> Mesh:
     """N-D mesh from axis=size kwargs, e.g. make_mesh_nd(object=2, data=4)
     — the 2D inference layout (MemoryConfig.object_sharded +
     bank_sharded). Axis order follows kwarg order (major first)."""
+    if not axes or any(v < 1 for v in axes.values()):
+        raise ValueError(f"axis sizes must be >= 1, got {axes}")
     n = int(np.prod(list(axes.values())))
     devs = jax.devices()
     if len(devs) < n:

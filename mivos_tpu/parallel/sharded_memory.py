@@ -84,6 +84,41 @@ def sharded_memory_read(mesh: Mesh, mem_k: jax.Array, mem_v: jax.Array,
     return fn(mem_k, mem_v, query_k, valid)
 
 
+def object_sharded_memory_read(mesh: Mesh, mem_k: jax.Array,
+                               mem_v: jax.Array, query_k: jax.Array,
+                               top_k=50, valid: Optional[jax.Array] = None,
+                               axis: str = "object", km=None,
+                               query_hw=None, backend: str = "auto",
+                               n_refine: int = 0) -> jax.Array:
+    """Memory read with ONLY the object axis sharded (K % axis == 0).
+
+    Per-object reads are independent, so this is zero-collective — but
+    it must be shard_map (manual mode), not GSPMD constraints: the
+    Pallas kernel is an unpartitionable custom call that GSPMD would
+    all-gather around, while inside shard_map each device runs the fused
+    kernel on its local objects at full speed. Falls through to the
+    requested XLA backend on other platforms (ops/memory_read.py)."""
+    from mivos_tpu.ops.memory_read import memory_read
+
+    if valid is None:
+        valid = jnp.ones((mem_k.shape[1],), bool)
+
+    def local(mk, mv, qk, vl):
+        return memory_read(mk, mv, qk, top_k=top_k, valid=vl, km=km,
+                           query_hw=query_hw, backend=backend,
+                           n_refine=n_refine)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None, None), P(), P()),
+        out_specs=P(axis, None, None),
+        # pallas_call's output avals carry no varying-mesh-axes info, so
+        # the vma check cannot see through the kernel; the specs above
+        # are the contract (object-batched in, object-batched out).
+        check_vma=False)
+    return fn(mem_k, mem_v, query_k, valid)
+
+
 def shard_bank(mesh: Mesh, mem_k: jax.Array, mem_v: jax.Array,
                axis: str = "data",
                object_axis: Optional[str] = None):

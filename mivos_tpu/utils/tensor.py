@@ -120,6 +120,15 @@ def one_hot_mask(labels: jax.Array, num_objects: int) -> jax.Array:
     return oh[..., None]
 
 
+def labels_to_probs(labels: jax.Array, num_objects: int) -> jax.Array:
+    """Indexed label map (H, W) -> (K+1, H, W, 1) hard probabilities
+    with the derived background channel first — the InferenceCore
+    interaction-mask convention (one_hot_mask plus bg = 1 - sum(fg))."""
+    fg = one_hot_mask(labels, num_objects)
+    bg = 1.0 - fg.sum(0, keepdims=True)
+    return jnp.concatenate([bg, fg], axis=0)
+
+
 def compute_iou(seg: jax.Array, gt: jax.Array, eps: float = 1e-6) -> jax.Array:
     """IoU of two boolean masks (reference: util/tensor_util.py:17-27)."""
     seg = seg.astype(jnp.bool_)

@@ -85,12 +85,11 @@ def make_trained_session_inputs(seed: int = 11):
 
     images, labels = synthetic_sequence(seed, T, H, W, K)
 
-    def onehot(lab):
-        fg = labels_to_onehot(lab, K)
-        return np.concatenate([1.0 - fg.sum(0, keepdims=True), fg], 0)
+    from mivos_tpu.utils.tensor import labels_to_probs
 
     return (im_normalize(images).astype(np.float32),
-            onehot(labels[0]), onehot(labels[T - 1]))
+            np.asarray(labels_to_probs(labels[0], K)),
+            np.asarray(labels_to_probs(labels[T - 1], K)))
 
 
 def main():

@@ -134,9 +134,16 @@ def main():
                                zip([0.0] + times[:-1], times)]
         report[tag]["per_round_s"] = per_round
         report[tag]["summary"].pop("curve", None)  # keep the JSON small
+
+    def persist():
+        # (Re)written before AND after the gates below, so the on-disk
+        # report always carries the gated metric once computed — and a
+        # gate failure still leaves the full evidence in --out.
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+
     print(json.dumps(report, indent=1))
-    with open(args.out, "w") as f:
-        json.dump(report, f, indent=1)
+    persist()
 
     # Accuracy gate — ROUND-INDEXED: compare the J&F value of each round
     # between the paths. The time-weighted AUC delta is reported but not
@@ -149,6 +156,7 @@ def main():
     for name in fr:
         djf += [abs(a[1] - b[1]) for a, b in zip(fr[name], er[name])]
     report["max_round_jf_delta"] = max(djf)
+    persist()
     print(f"max per-round |dJ&F| fast-vs-exact: {max(djf):.4f}", flush=True)
     assert max(djf) < 0.01, djf
 

@@ -55,12 +55,11 @@ def build(weights=None):
 
 def mk_mask(seed):
     import jax.numpy as jnp
-    from mivos_tpu.utils.tensor import one_hot_mask
+    from mivos_tpu.utils.tensor import labels_to_probs
 
     labels = jnp.asarray(
         np.random.RandomState(seed).randint(0, K + 1, (RH, RW)))
-    fg = one_hot_mask(labels, K)
-    return jnp.concatenate([1 - fg.sum(0, keepdims=True), fg], 0)
+    return labels_to_probs(labels, K)
 
 
 def no_download(core):

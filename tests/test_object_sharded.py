@@ -112,6 +112,57 @@ class TestObjectShardedSession:
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+class TestObjectShardedRead:
+    """The per-object manual read (shard_map over K) that keeps the
+    fused Pallas kernel usable under object sharding."""
+
+    def _bank(self, k=2, m=512, n=96):
+        rng = np.random.RandomState(11)
+        mk = jnp.asarray(rng.randn(k, m, 128).astype(np.float32))
+        mv = jnp.asarray(rng.randn(k, m, 256).astype(np.float32))
+        q = jnp.asarray(rng.randn(n, 128).astype(np.float32))
+        valid = jnp.arange(m) < m - 40
+        return mk, mv, q, valid
+
+    def test_matches_exact_read(self):
+        from mivos_tpu.ops.memory_read import memory_read
+        from mivos_tpu.parallel.sharded_memory import (
+            object_sharded_memory_read)
+
+        mk, mv, q, valid = self._bank()
+        ref = memory_read(mk, mv, q, top_k=20, valid=valid,
+                          backend="xla_exact")
+        out = object_sharded_memory_read(
+            make_mesh(2, axis="object"), mk, mv, q, top_k=20, valid=valid,
+            backend="xla_exact")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4)
+
+    def test_pallas_interpret_inside_shard_map(self):
+        """The Pallas kernel composes with the per-object shard_map
+        (interpret mode on CPU; the Mosaic path is the same call)."""
+        from mivos_tpu.ops.memory_read import memory_read
+        from mivos_tpu.ops.pallas.memory_read import memory_read_pallas
+        from jax.sharding import PartitionSpec as P
+
+        mk, mv, q, valid = self._bank(m=1024, n=128)
+        ref = memory_read(mk, mv, q, top_k=20, valid=valid,
+                          backend="xla_exact")
+        mesh = make_mesh(2, axis="object")
+
+        def local(a, b, c, d):
+            return memory_read_pallas(a, b, c, top_k=20, valid=d,
+                                      interpret=True)
+
+        out = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P("object"), P("object"), P(), P()),
+            out_specs=P("object"), check_vma=False)(mk, mv, q, valid)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 class TestObjectBank2D:
     """object_sharded + bank_sharded compose on a 2D mesh: each device
     owns its objects' slice of the bank, the exact-top-k read/write
@@ -212,6 +263,94 @@ class TestEvalPlumbing:
             mem=MemoryConfig(top_k=10, mem_freq=2, object_sharded=True),
             mesh=make_mesh(2, axis="object"))
         assert 0.0 <= summary["auc"] <= 1.0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+class TestFleetProtocol:
+    def test_fleet_matches_serial_metric_values(self):
+        """Fleet-parallel local protocol: per-round J&F values equal the
+        serial run's (robot state is per-sequence; only wall-clock
+        timings differ between the two schedules)."""
+        from mivos_tpu.eval.davis_interactive import (
+            run_local_interactive, run_local_interactive_fleet)
+        from mivos_tpu.models.s2m import S2MNetwork
+
+        t, h, w, k = 3, 48, 64, 2
+        rng = np.random.RandomState(3)
+        prop, params, _ = _net(k)
+        s2m = S2MNetwork()
+        sp = s2m.init(jax.random.PRNGKey(2), jnp.zeros((k, h, w, 6)))
+        sequences = {}
+        for name in ("a", "b"):
+            images = rng.rand(t, h, w, 3).astype(np.float32)
+            gt = np.zeros((t, h, w), np.int32)
+            gt[:, 8:24, 8:28] = 1
+            gt[:, 28:44, 36:60] = 2
+            sequences[name] = (images, gt, k)
+
+        mem = MemoryConfig(top_k=10, mem_freq=2)
+        serial = run_local_interactive(
+            prop, params, None, None, s2m, sp, sequences,
+            max_nb_interactions=2, max_time_per_interaction=1000, mem=mem)
+        fleet = run_local_interactive_fleet(
+            prop, params, None, None, s2m, sp, sequences,
+            max_nb_interactions=2, max_time_per_interaction=1000, mem=mem,
+            devices=jax.devices()[:2])
+        assert set(fleet["records"]) == set(serial["records"])
+        for name in serial["records"]:
+            sv = [v for _, v in serial["records"][name]]
+            fv = [v for _, v in fleet["records"][name]]
+            np.testing.assert_allclose(fv, sv, atol=1e-6)
+
+    def test_fleet_rejects_sharded_sessions(self):
+        from mivos_tpu.eval.davis_interactive import (
+            run_local_interactive_fleet)
+
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            run_local_interactive_fleet(
+                None, None, None, None, None, None, {},
+                mem=MemoryConfig(bank_sharded=True))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+class TestBankAllocSharded:
+    def test_reset_allocates_directly_sharded(self):
+        """The bank never materializes unsharded on one device: reset's
+        zeros (and certain-memory seed) land with the target sharding."""
+        from mivos_tpu.core.memory_bank import MemoryBank
+        from mivos_tpu.parallel.sharded_memory import bank_sharding
+
+        mesh = make_mesh(8)
+        sh = bank_sharding(mesh)
+        bank = MemoryBank(2, 16, cap_frames=64, sharding=sh, min_cap=8)
+        seed_k = jnp.ones((2, 32, 128))
+        seed_v = jnp.ones((2, 32, 512))
+        bank.reset(5, seed_k, seed_v)
+        assert bank.keys.sharding == sh and bank.values.sharding == sh
+        assert bank.num_slots == 2
+        np.testing.assert_allclose(np.asarray(bank.keys[:, :32]), 1.0)
+        np.testing.assert_allclose(np.asarray(bank.keys[:, 32:]), 0.0)
+
+    def test_non_power_of_two_axis_rounds_cap_up(self):
+        """A 3-device bank axis (buckets are powers of two) rounds the
+        capacity up to whole slots per shard instead of asserting."""
+        from mivos_tpu.core.memory_bank import MemoryBank
+        from mivos_tpu.parallel.mesh import make_mesh_nd
+        from mivos_tpu.parallel.sharded_memory import bank_sharding
+
+        mesh = make_mesh_nd(data=3)
+        bank = MemoryBank(1, 4, sharding=bank_sharding(mesh), min_cap=3)
+        bank.reset(7)
+        assert bank.cap % 3 == 0 and bank.cap >= 8
+        assert len(bank.keys.sharding.device_set) == 3
+
+
+class TestMeshNdValidation:
+    def test_zero_axis_rejected(self):
+        from mivos_tpu.parallel.mesh import make_mesh_nd
+
+        with pytest.raises(ValueError, match=">= 1"):
+            make_mesh_nd(object=16, data=0)
 
 
 class TestObjectShardedValidation:

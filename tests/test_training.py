@@ -141,7 +141,7 @@ class TestSyncBN:
     def test_matches_full_batch_bn(self, rng):
         """BN stats psum'd across 8 shards == BN over the full batch
         (replaces the reference's CUDA SyncBN correctness contract)."""
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         mesh = make_mesh(8)
         x = rng.randn(16, 4, 4, 6).astype(np.float32)
@@ -213,7 +213,7 @@ def test_syncbn_module_sharded_matches_full_batch(rng):
     """The SyncBatchNorm nn-module (the op's first-class consumer):
     training mode under shard_map over 8 shards == full-batch BN,
     running stats updated; eval mode uses the running averages."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from mivos_tpu.models.layers import SyncBatchNorm
 
