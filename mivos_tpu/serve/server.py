@@ -1,0 +1,232 @@
+"""Session manager + stdlib HTTP server for interactive VOS serving.
+
+Design (TPU-first, no reference analog — the reference is a desktop
+GUI, interactive_gui.py):
+
+* One `SessionManager` owns all live sessions. Each session is pinned
+  to a device round-robin at creation (`jax.default_device`, the same
+  thread-local placement the fleet evaluator uses, eval/fleet.py), so
+  concurrent requests for different sessions run on different chips
+  while XLA executables are compiled once per device kind and shared.
+* Per-session locks serialize interactions within a session (an
+  InferenceCore mutates its bank); the registry lock is only held for
+  bookkeeping, never across device work.
+* Wire format: npz (zlib-compressed numpy archives). Label maps are
+  piecewise constant, so savez_compressed ships them near the
+  block-sparse rate without a custom decoder on the client.
+
+HTTP API (serve.py at the repo root binds it):
+  POST   /v1/sessions?num_objects=K   body: npz{video (T,H,W,3) uint8}
+                                      -> {"session_id": ...}
+  POST   /v1/sessions/<id>/interact   body: npz{labels (h,w) uint8,
+                                      frame []}  -> npz{masks (T,h,w)}
+  GET    /v1/sessions/<id>/masks      -> npz{masks}
+  DELETE /v1/sessions/<id>            -> {"closed": true}
+  GET    /healthz                     -> {"ok": true, "sessions": N}
+"""
+from __future__ import annotations
+
+import io
+import json
+import re
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+
+import numpy as np
+
+from mivos_tpu.config import MemoryConfig
+
+
+class _Session:
+    def __init__(self, core, device, num_objects: int):
+        self.core = core
+        self.device = device
+        self.k = num_objects
+        self.lock = threading.Lock()
+        self.last_used = time.monotonic()
+
+
+class SessionManager:
+    """Live InferenceCore sessions keyed by id, pinned round-robin to
+    devices; oldest-idle sessions are evicted at max_sessions."""
+
+    def __init__(self, prop_net, prop_params, fuse_net=None,
+                 fuse_params=None, mem: MemoryConfig = MemoryConfig(),
+                 devices=None, max_sessions: int = 8):
+        import jax
+
+        self.prop_net, self.prop_params = prop_net, prop_params
+        self.fuse_net, self.fuse_params = fuse_net, fuse_params
+        self.mem = mem
+        self.devices = list(devices if devices is not None
+                            else jax.local_devices())
+        self.max_sessions = max_sessions
+        self._sessions: Dict[str, _Session] = {}
+        self._lock = threading.Lock()
+        self._next_dev = 0
+
+    def create(self, video: np.ndarray, num_objects: int) -> str:
+        """video: (T, H, W, 3) uint8 (raw frames; normalized on device)
+        or float32 (pre-normalized). Returns the session id."""
+        import jax
+
+        from mivos_tpu.core.inference import InferenceCore
+
+        if video.ndim != 4 or video.shape[-1] != 3:
+            raise ValueError(f"video must be (T, H, W, 3), got "
+                             f"{video.shape}")
+        with self._lock:
+            self._evict_locked(keep_room=1)
+            dev = self.devices[self._next_dev % len(self.devices)]
+            self._next_dev += 1
+        with jax.default_device(dev):
+            core = InferenceCore(self.prop_net, self.prop_params,
+                                 self.fuse_net, self.fuse_params,
+                                 video, num_objects, mem=self.mem)
+        sid = uuid.uuid4().hex[:16]
+        with self._lock:
+            self._sessions[sid] = _Session(core, dev, num_objects)
+        return sid
+
+    def interact(self, sid: str, labels: np.ndarray,
+                 frame_idx: int) -> np.ndarray:
+        """labels: (h, w) uint8 map (0 = background, 1..K = objects) for
+        frame_idx. Propagates and returns all (T, h, w) labels."""
+        import jax
+
+        from mivos_tpu.utils.tensor import labels_to_probs
+
+        s = self._get(sid)
+        with s.lock, jax.default_device(s.device):
+            mask = labels_to_probs(np.asarray(labels), s.k)
+            out = s.core.interact(mask, int(frame_idx))
+        s.last_used = time.monotonic()
+        return out
+
+    def masks(self, sid: str) -> np.ndarray:
+        s = self._get(sid)
+        with s.lock:
+            s.last_used = time.monotonic()
+            return s.core.np_masks
+
+    def close(self, sid: str) -> bool:
+        with self._lock:
+            return self._sessions.pop(sid, None) is not None
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._sessions)
+
+    def _get(self, sid: str) -> _Session:
+        with self._lock:
+            s = self._sessions.get(sid)
+            if s is None:
+                raise KeyError(sid)
+            return s
+
+    def _evict_locked(self, keep_room: int) -> None:
+        while len(self._sessions) > self.max_sessions - keep_room:
+            oldest = min(self._sessions, key=lambda k:
+                         self._sessions[k].last_used)
+            del self._sessions[oldest]
+
+
+def _npz(arrays: Dict[str, np.ndarray]) -> bytes:
+    buf = io.BytesIO()
+    np.savez_compressed(buf, **arrays)
+    return buf.getvalue()
+
+
+def _unnpz(data: bytes) -> Dict[str, np.ndarray]:
+    with np.load(io.BytesIO(data)) as z:
+        return {k: z[k] for k in z.files}
+
+
+class VOSRequestHandler(BaseHTTPRequestHandler):
+    """Routes the HTTP API onto a SessionManager (set as the server's
+    `manager` attribute by make_server)."""
+
+    _SESSION = re.compile(r"^/v1/sessions/([0-9a-f]+)/?(masks|interact)?$")
+
+    # --- helpers -----------------------------------------------------
+    def _json(self, code: int, obj) -> None:
+        body = json.dumps(obj).encode()
+        self._raw(code, body, "application/json")
+
+    def _raw(self, code: int, body: bytes,
+             ctype: str = "application/octet-stream") -> None:
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body(self) -> bytes:
+        n = int(self.headers.get("Content-Length", 0))
+        return self.rfile.read(n)
+
+    def log_message(self, fmt, *a):  # quiet by default
+        if getattr(self.server, "verbose", False):
+            super().log_message(fmt, *a)
+
+    @property
+    def manager(self) -> SessionManager:
+        return self.server.manager  # type: ignore[attr-defined]
+
+    # --- routes ------------------------------------------------------
+    def do_GET(self):
+        if self.path == "/healthz":
+            return self._json(200, {"ok": True,
+                                    "sessions": len(self.manager)})
+        m = self._SESSION.match(self.path)
+        if m and m.group(2) == "masks":
+            try:
+                masks = self.manager.masks(m.group(1))
+            except KeyError:
+                return self._json(404, {"error": "no such session"})
+            return self._raw(200, _npz({"masks": masks}))
+        self._json(404, {"error": "unknown route"})
+
+    def do_POST(self):
+        try:
+            if self.path.startswith("/v1/sessions?") or \
+                    self.path == "/v1/sessions":
+                from urllib.parse import parse_qs, urlparse
+
+                q = parse_qs(urlparse(self.path).query)
+                k = int(q.get("num_objects", ["1"])[0])
+                video = _unnpz(self._body())["video"]
+                sid = self.manager.create(video, k)
+                return self._json(200, {"session_id": sid})
+            m = self._SESSION.match(self.path)
+            if m and m.group(2) == "interact":
+                data = _unnpz(self._body())
+                masks = self.manager.interact(
+                    m.group(1), data["labels"], int(data["frame"]))
+                return self._raw(200, _npz({"masks": masks}))
+        except KeyError as e:
+            return self._json(404, {"error": f"not found: {e}"})
+        except (ValueError, OSError) as e:
+            return self._json(400, {"error": str(e)})
+        self._json(404, {"error": "unknown route"})
+
+    def do_DELETE(self):
+        m = self._SESSION.match(self.path)
+        if m and not m.group(2):
+            return self._json(200, {"closed":
+                                    self.manager.close(m.group(1))})
+        self._json(404, {"error": "unknown route"})
+
+
+def make_server(manager: SessionManager, host: str = "127.0.0.1",
+                port: int = 0, verbose: bool = False) -> ThreadingHTTPServer:
+    """Bind (but do not start) the HTTP server; port 0 picks a free
+    port (server.server_address reports it). Call serve_forever() or
+    run it in a thread."""
+    srv = ThreadingHTTPServer((host, port), VOSRequestHandler)
+    srv.manager = manager  # type: ignore[attr-defined]
+    srv.verbose = verbose  # type: ignore[attr-defined]
+    return srv

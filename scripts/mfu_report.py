@@ -31,10 +31,43 @@ def cost(fn, *args):
             "gbytes": float(c.get("bytes accessed", 0.0)) / 1e9}
 
 
+def measure_ms(fn, xs, reps: int = 3) -> float:
+    """Measured per-call device time: N calls run inside ONE jitted
+    lax.scan reduced to a scalar, so the tunnel's per-dispatch latency
+    and download cost amortize away (verify-skill timing protocol); the
+    stacked inputs are perturbed per repetition because bitwise-equal
+    executions are memoized by the remote runtime."""
+    import time
+
+    @jax.jit
+    def run(stack):
+        def body(c, x):
+            out = fn(x)
+            s = sum(jnp.sum(l.astype(jnp.float32))
+                    for l in jax.tree.leaves(out))
+            return c + s, None
+        return jax.lax.scan(body, jnp.float32(0.0), stack)[0]
+
+    n = jax.tree.leaves(xs)[0].shape[0]
+    np.asarray(run(xs))  # compile + warm
+    best = float("inf")
+    for rep in range(1, reps + 1):
+        pert = jax.tree.map(lambda a: a * (1.0 + rep * 1e-3), xs)
+        np.asarray(jax.tree.leaves(pert)[0][0, 0])  # materialize inputs
+        t0 = time.time()
+        np.asarray(run(pert))
+        best = min(best, (time.time() - t0) / n)
+    return best * 1e3
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fps", type=float, default=None,
                     help="measured session FPS (bench.py); enables MFU")
+    ap.add_argument("--measure", type=int, default=0, metavar="N",
+                    help="ALSO time each phase on the chip (N scan "
+                         "steps per executable; adds one remote compile "
+                         "per phase)")
     args = ap.parse_args()
 
     from mivos_tpu.models.propagation import PropagationNetwork
@@ -87,12 +120,49 @@ def main():
                                            backend="xla_approx"),
         bank_k, bank_v, q, valid)
 
+    if args.measure:
+        n = args.measure
+        rng2 = np.random.RandomState(1)
+        ims = jnp.asarray(rng2.rand(n, H, W, 3).astype(np.float32))
+        msk = jnp.asarray(rng2.rand(n, K, H, W, 1).astype(np.float32))
+        k16s = jnp.asarray(rng2.rand(n, 1, h16, w16, 128)
+                           .astype(np.float32)).astype(jnp.bfloat16)
+        qs = jnp.asarray(rng2.rand(n, n16, 128)
+                         .astype(np.float32)).astype(jnp.bfloat16)
+        bk = jnp.asarray(rng2.randn(K, M_BANK, 128)
+                         .astype(np.float32)).astype(jnp.bfloat16)
+        bv = jnp.asarray(rng2.randn(K, M_BANK, 512)
+                         .astype(np.float32)).astype(jnp.bfloat16)
+
+        timed = {}
+        timed["query_encode"] = measure_ms(
+            lambda im: net.apply(params, im, method="get_query_values"),
+            ims)
+        timed["read_decode"] = measure_ms(
+            lambda kk: net.apply(params, bk, bv, valid, f16, f8, f4, kk,
+                                 v16, method="segment_with_query"), k16s)
+        timed["memorize"] = measure_ms(
+            lambda mm: net.apply(params, image, mm, method="memorize"), msk)
+        for backend in ("pallas", "xla_approx"):
+            timed[f"memory_read_only_{backend}"] = measure_ms(
+                lambda qq, b=backend: memory_read(
+                    bk, bv, qq, top_k=50, valid=valid, backend=b), qs)
+        step_ms = (timed["query_encode"] + timed["read_decode"]
+                   + timed["memorize"])
+        timed["frame_total"] = step_ms
+        timed["device_only_fps"] = 1e3 / step_ms
+        for k2, v2 in sorted(timed.items()):
+            print(f"  measured {k2}: {v2:.2f}"
+                  f"{' ms' if 'fps' not in k2 else ' fps'}", flush=True)
+
     total = sum(p["gflops"] for n, p in phases.items()
                 if n not in ("memory_read_only",))
     report = {"per_frame_gflops": round(total, 2),
               "phases": {k: {kk: round(vv, 3) for kk, vv in v.items()}
                          for k, v in phases.items()},
               "shape": {"hw": [H, W], "objects": K, "bank_m": M_BANK}}
+    if args.measure:
+        report["measured_ms"] = {k: round(v, 3) for k, v in timed.items()}
     if args.fps:
         mfu = args.fps * total * 1e9 / PEAK_BF16
         report["fps"] = args.fps

@@ -1,0 +1,108 @@
+"""Serving layer: SessionManager semantics + the HTTP API end-to-end
+(in-process ThreadingHTTPServer on an ephemeral port)."""
+import io
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mivos_tpu.config import MemoryConfig
+from mivos_tpu.models.propagation import PropagationNetwork
+from mivos_tpu.serve import SessionManager, make_server
+
+T, H, W, K = 3, 48, 64, 2
+
+
+@pytest.fixture(scope="module")
+def manager():
+    prop = PropagationNetwork(top_k=10)
+    f0 = jnp.zeros((H, W, 3))
+    params = prop.init(jax.random.PRNGKey(0), f0,
+                       jnp.zeros((K, H, W, 1)), f0)
+    return SessionManager(prop, params,
+                          mem=MemoryConfig(top_k=10, mem_freq=2),
+                          max_sessions=3)
+
+
+def _video(seed=0):
+    return (np.random.RandomState(seed).rand(T, H, W, 3)
+            * 255).astype(np.uint8)
+
+
+def _labels(seed=1):
+    lab = np.zeros((H, W), np.uint8)
+    lab[8:24, 8:28] = 1
+    lab[28:44, 36:60] = 2
+    return lab
+
+
+class TestSessionManager:
+    def test_create_interact_masks_close(self, manager):
+        sid = manager.create(_video(), K)
+        out = manager.interact(sid, _labels(), 0)
+        assert out.shape == (T, H, W) and out.dtype == np.uint8
+        assert out.max() <= K
+        # Frame 0 keeps the interaction labels.
+        assert (out[0] == _labels()).mean() > 0.99
+        np.testing.assert_array_equal(manager.masks(sid), out)
+        assert manager.close(sid) and not manager.close(sid)
+
+    def test_bad_video_shape_rejected(self, manager):
+        with pytest.raises(ValueError, match="T, H, W, 3"):
+            manager.create(np.zeros((H, W, 3), np.uint8), 1)
+
+    def test_lru_eviction(self, manager):
+        sids = [manager.create(_video(s), 1) for s in range(4)]
+        assert len(manager) <= 3
+        with pytest.raises(KeyError):
+            manager.interact(sids[0], _labels(), 0)  # evicted (oldest)
+        assert manager.masks(sids[-1]).shape == (T, H, W)
+        for s in sids[1:]:
+            manager.close(s)
+
+
+class TestHTTPServer:
+    @pytest.fixture(scope="class")
+    def base(self, manager):
+        srv = make_server(manager, port=0)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        host, port = srv.server_address[:2]
+        yield f"http://{host}:{port}"
+        srv.shutdown()
+
+    def _post(self, url, arrays):
+        buf = io.BytesIO()
+        np.savez_compressed(buf, **arrays)
+        req = urllib.request.Request(url, buf.getvalue(), method="POST")
+        return urllib.request.urlopen(req)
+
+    def test_full_roundtrip(self, base, manager):
+        r = urllib.request.urlopen(base + "/healthz")
+        assert json.load(r)["ok"]
+
+        r = self._post(base + f"/v1/sessions?num_objects={K}",
+                       {"video": _video(7)})
+        sid = json.load(r)["session_id"]
+
+        r = self._post(base + f"/v1/sessions/{sid}/interact",
+                       {"labels": _labels(), "frame": np.int64(0)})
+        masks = np.load(io.BytesIO(r.read()))["masks"]
+        assert masks.shape == (T, H, W) and masks.max() <= K
+
+        r = urllib.request.urlopen(base + f"/v1/sessions/{sid}/masks")
+        np.testing.assert_array_equal(
+            np.load(io.BytesIO(r.read()))["masks"], masks)
+
+        req = urllib.request.Request(base + f"/v1/sessions/{sid}",
+                                     method="DELETE")
+        assert json.load(urllib.request.urlopen(req))["closed"]
+
+    def test_missing_session_404(self, base):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(base + "/v1/sessions/00ff00ff/masks")
+        assert e.value.code == 404
