@@ -18,6 +18,9 @@ GUI, interactive_gui.py):
 HTTP API (serve.py at the repo root binds it):
   POST   /v1/sessions?num_objects=K   body: npz{video (T,H,W,3) uint8}
                                       -> {"session_id": ...}
+         ...&format=mp4[&min_side=480]  body: raw container bytes,
+                                      decoded via interactive/video_io
+                                      (any cv2-readable format)
   POST   /v1/sessions/<id>/interact   body: npz{labels (h,w) uint8,
                                       frame []}  -> npz{masks (T,h,w)}
   GET    /v1/sessions/<id>/masks      -> npz{masks}
@@ -198,7 +201,20 @@ class VOSRequestHandler(BaseHTTPRequestHandler):
 
                 q = parse_qs(urlparse(self.path).query)
                 k = int(q.get("num_objects", ["1"])[0])
-                video = _unnpz(self._body())["video"]
+                fmt = q.get("format", ["npz"])[0]
+                if fmt == "npz":
+                    video = _unnpz(self._body())["video"]
+                else:  # raw container bytes (mp4/avi/...): cv2 decode
+                    import tempfile
+
+                    from mivos_tpu.interactive.video_io import load_video
+
+                    min_side = int(q.get("min_side", ["480"])[0])
+                    with tempfile.NamedTemporaryFile(
+                            suffix=f".{fmt}") as tmp:
+                        tmp.write(self._body())
+                        tmp.flush()
+                        video = load_video(tmp.name, min_side=min_side)
                 sid = self.manager.create(video, k)
                 return self._json(200, {"session_id": sid})
             m = self._SESSION.match(self.path)

@@ -102,6 +102,23 @@ class TestHTTPServer:
                                      method="DELETE")
         assert json.load(urllib.request.urlopen(req))["closed"]
 
+    def test_mp4_upload(self, base, manager):
+        import os
+
+        mp4 = os.path.join(os.path.dirname(__file__), os.pardir,
+                           "examples", "example.mp4")
+        if not os.path.exists(mp4):
+            pytest.skip("example media not present")
+        with open(mp4, "rb") as f:
+            data = f.read()
+        req = urllib.request.Request(
+            base + "/v1/sessions?num_objects=1&format=mp4&min_side=64",
+            data, method="POST")
+        sid = json.load(urllib.request.urlopen(req))["session_id"]
+        masks = manager.masks(sid)
+        assert masks.ndim == 3 and min(masks.shape[1:]) == 64
+        manager.close(sid)
+
     def test_missing_session_404(self, base):
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(base + "/v1/sessions/00ff00ff/masks")
