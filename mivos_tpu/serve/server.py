@@ -26,6 +26,8 @@ HTTP API (serve.py at the repo root binds it):
   GET    /v1/sessions/<id>/masks      -> npz{masks}
   DELETE /v1/sessions/<id>            -> {"closed": true}
   GET    /healthz                     -> {"ok": true, "sessions": N}
+  GET    /metrics                     -> counters + interact latency
+                                      percentiles (SessionManager.stats)
 """
 from __future__ import annotations
 
@@ -70,6 +72,32 @@ class SessionManager:
         self._sessions: Dict[str, _Session] = {}
         self._lock = threading.Lock()
         self._next_dev = 0
+        # Observability counters (GET /metrics): lifetime totals + a
+        # rolling window of interaction latencies for the percentiles.
+        self._created = 0
+        self._interactions = 0
+        self._evicted = 0
+        self._latencies: list = []  # rolling, capped at 512
+
+    def warm(self, t: int, h: int, w: int, num_objects: int) -> float:
+        """Precompile the session executables for one video shape
+        class: run a throwaway session (zeros video, one interaction)
+        at (t, h, w, K). Executables are keyed by shape BUCKETS (time
+        bucket, scan chunk, bank capacity), so any video in the same
+        buckets then starts hot — on TPU VMs the persistent XLA compile
+        cache extends this across server restarts. Returns seconds
+        spent (the cold-start cost the first user would have paid)."""
+        t0 = time.monotonic()
+        video = np.zeros((t, h, w, 3), np.uint8)
+        labels = np.zeros((h, w), np.uint8)
+        for k in range(num_objects):  # a sliver of every object id
+            labels[:, k::num_objects] = k + 1
+        sid = self.create(video, num_objects)
+        try:
+            self.interact(sid, labels, 0)
+        finally:
+            self.close(sid)
+        return time.monotonic() - t0
 
     def create(self, video: np.ndarray, num_objects: int) -> str:
         """video: (T, H, W, 3) uint8 (raw frames; normalized on device)
@@ -92,6 +120,7 @@ class SessionManager:
         sid = uuid.uuid4().hex[:16]
         with self._lock:
             self._sessions[sid] = _Session(core, dev, num_objects)
+            self._created += 1
         return sid
 
     def interact(self, sid: str, labels: np.ndarray,
@@ -103,10 +132,15 @@ class SessionManager:
         from mivos_tpu.utils.tensor import labels_to_probs
 
         s = self._get(sid)
+        t0 = time.monotonic()
         with s.lock, jax.default_device(s.device):
             mask = labels_to_probs(np.asarray(labels), s.k)
             out = s.core.interact(mask, int(frame_idx))
         s.last_used = time.monotonic()
+        with self._lock:
+            self._interactions += 1
+            self._latencies.append(s.last_used - t0)
+            del self._latencies[:-512]
         return out
 
     def masks(self, sid: str) -> np.ndarray:
@@ -135,6 +169,21 @@ class SessionManager:
             oldest = min(self._sessions, key=lambda k:
                          self._sessions[k].last_used)
             del self._sessions[oldest]
+            self._evicted += 1
+
+    def stats(self) -> Dict:
+        with self._lock:
+            lat = sorted(self._latencies)
+            pct = (lambda p: round(lat[min(len(lat) - 1,
+                                           int(p * len(lat)))], 3)) \
+                if lat else (lambda p: None)
+            return {"sessions": len(self._sessions),
+                    "created": self._created,
+                    "interactions": self._interactions,
+                    "evicted": self._evicted,
+                    "devices": len(self.devices),
+                    "interact_p50_s": pct(0.50),
+                    "interact_p95_s": pct(0.95)}
 
 
 def _npz(arrays: Dict[str, np.ndarray]) -> bytes:
@@ -184,6 +233,8 @@ class VOSRequestHandler(BaseHTTPRequestHandler):
         if self.path == "/healthz":
             return self._json(200, {"ok": True,
                                     "sessions": len(self.manager)})
+        if self.path == "/metrics":
+            return self._json(200, self.manager.stats())
         m = self._SESSION.match(self.path)
         if m and m.group(2) == "masks":
             try:

@@ -35,6 +35,11 @@ def main():
     p.add_argument("--mem_freq", type=int, default=5)
     p.add_argument("--max_sessions", type=int, default=8)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--warm", default=None, metavar="T,H,W,K",
+                   help="precompile the session executables for this "
+                        "video shape class before binding the port "
+                        "(e.g. 100,480,854,3) — the first user then "
+                        "skips the cold-compile stall")
     args = p.parse_args()
 
     from mivos_tpu.checkpoint import (convert_fusion_net, convert_prop_net,
@@ -57,6 +62,12 @@ def main():
                          mem=MemoryConfig(top_k=args.top_k,
                                           mem_freq=args.mem_freq),
                          max_sessions=args.max_sessions)
+    if args.warm:
+        t, h, w, k = (int(x) for x in args.warm.split(","))
+        print(f"warming executables for (T={t}, {h}x{w}, K={k})...",
+              flush=True)
+        print(f"warm done in {mgr.warm(t, h, w, k):.1f}s")
+
     srv = make_server(mgr, host=args.host, port=args.port, verbose=True)
     print(f"serving on http://{srv.server_address[0]}:"
           f"{srv.server_address[1]} ({len(mgr.devices)} device(s))")

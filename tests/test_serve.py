@@ -55,6 +55,19 @@ class TestSessionManager:
         with pytest.raises(ValueError, match="T, H, W, 3"):
             manager.create(np.zeros((H, W, 3), np.uint8), 1)
 
+    def test_warm_precompiles_and_cleans_up(self, manager):
+        before = len(manager)
+        dt = manager.warm(T, H, W, K)
+        assert dt > 0 and len(manager) == before  # throwaway closed
+
+    def test_metrics(self, manager):
+        sid = manager.create(_video(9), K)
+        manager.interact(sid, _labels(), 0)
+        st = manager.stats()
+        assert st["created"] >= 1 and st["interactions"] >= 1
+        assert st["interact_p50_s"] is not None
+        manager.close(sid)
+
     def test_lru_eviction(self, manager):
         sids = [manager.create(_video(s), 1) for s in range(4)]
         assert len(manager) <= 3
@@ -101,6 +114,11 @@ class TestHTTPServer:
         req = urllib.request.Request(base + f"/v1/sessions/{sid}",
                                      method="DELETE")
         assert json.load(urllib.request.urlopen(req))["closed"]
+
+    def test_metrics_endpoint(self, base):
+        st = json.load(urllib.request.urlopen(base + "/metrics"))
+        assert {"sessions", "created", "interactions",
+                "interact_p50_s"} <= set(st)
 
     def test_mp4_upload(self, base, manager):
         import os
