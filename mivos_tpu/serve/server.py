@@ -38,7 +38,7 @@ import threading
 import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
@@ -77,6 +77,7 @@ class SessionManager:
         self._created = 0
         self._interactions = 0
         self._evicted = 0
+        self._pending = 0  # creations in flight (reserve their slots)
         self._latencies: list = []  # rolling, capped at 512
 
     def warm(self, t: int, h: int, w: int, num_objects: int) -> float:
@@ -110,17 +111,25 @@ class SessionManager:
             raise ValueError(f"video must be (T, H, W, 3), got "
                              f"{video.shape}")
         with self._lock:
-            self._evict_locked(keep_room=1)
+            # Reserve the slot BEFORE the (slow) session build so
+            # concurrent creations cannot overshoot max_sessions — the
+            # cap bounds per-chip HBM (device-resident video + bank).
+            self._pending += 1
+            self._evict_locked(keep_room=self._pending)
             dev = self.devices[self._next_dev % len(self.devices)]
             self._next_dev += 1
-        with jax.default_device(dev):
-            core = InferenceCore(self.prop_net, self.prop_params,
-                                 self.fuse_net, self.fuse_params,
-                                 video, num_objects, mem=self.mem)
-        sid = uuid.uuid4().hex[:16]
-        with self._lock:
-            self._sessions[sid] = _Session(core, dev, num_objects)
-            self._created += 1
+        try:
+            with jax.default_device(dev):
+                core = InferenceCore(self.prop_net, self.prop_params,
+                                     self.fuse_net, self.fuse_params,
+                                     video, num_objects, mem=self.mem)
+            sid = uuid.uuid4().hex[:16]
+            with self._lock:
+                self._sessions[sid] = _Session(core, dev, num_objects)
+                self._created += 1
+        finally:
+            with self._lock:
+                self._pending -= 1
         return sid
 
     def interact(self, sid: str, labels: np.ndarray,
@@ -132,10 +141,13 @@ class SessionManager:
         from mivos_tpu.utils.tensor import labels_to_probs
 
         s = self._get(sid)
-        t0 = time.monotonic()
+        # Touch last_used BEFORE the (possibly minutes-long cold
+        # compile) interaction so an active session is not the LRU
+        # eviction victim mid-flight.
+        s.last_used = t0 = time.monotonic()
         with s.lock, jax.default_device(s.device):
             mask = labels_to_probs(np.asarray(labels), s.k)
-            out = s.core.interact(mask, int(frame_idx))
+            out = s.core.interact(mask, int(frame_idx)).copy()
         s.last_used = time.monotonic()
         with self._lock:
             self._interactions += 1
@@ -147,7 +159,10 @@ class SessionManager:
         s = self._get(sid)
         with s.lock:
             s.last_used = time.monotonic()
-            return s.core.np_masks
+            # Copy under the lock: np_masks is the session's live
+            # buffer, mutated in place by the next interact — returning
+            # it raw would let a concurrent round tear the response.
+            return s.core.np_masks.copy()
 
     def close(self, sid: str) -> bool:
         with self._lock:
@@ -166,16 +181,23 @@ class SessionManager:
 
     def _evict_locked(self, keep_room: int) -> None:
         while len(self._sessions) > self.max_sessions - keep_room:
-            oldest = min(self._sessions, key=lambda k:
-                         self._sessions[k].last_used)
+            # Never evict a session that is mid-interaction (lock held).
+            idle = [k for k, s in self._sessions.items()
+                    if not s.lock.locked()]
+            if not idle:
+                return  # everyone is busy; allow transient overshoot
+            oldest = min(idle, key=lambda k: self._sessions[k].last_used)
             del self._sessions[oldest]
             self._evicted += 1
 
     def stats(self) -> Dict:
         with self._lock:
+            import math
+
             lat = sorted(self._latencies)
-            pct = (lambda p: round(lat[min(len(lat) - 1,
-                                           int(p * len(lat)))], 3)) \
+            # Nearest-rank percentile: ceil(p*n) - 1.
+            pct = (lambda p: round(lat[max(0, math.ceil(p * len(lat))
+                                           - 1)], 3)) \
                 if lat else (lambda p: None)
             return {"sessions": len(self._sessions),
                     "created": self._created,
@@ -245,40 +267,61 @@ class VOSRequestHandler(BaseHTTPRequestHandler):
         self._json(404, {"error": "unknown route"})
 
     def do_POST(self):
-        try:
-            if self.path.startswith("/v1/sessions?") or \
-                    self.path == "/v1/sessions":
-                from urllib.parse import parse_qs, urlparse
-
-                q = parse_qs(urlparse(self.path).query)
-                k = int(q.get("num_objects", ["1"])[0])
-                fmt = q.get("format", ["npz"])[0]
-                if fmt == "npz":
-                    video = _unnpz(self._body())["video"]
-                else:  # raw container bytes (mp4/avi/...): cv2 decode
-                    import tempfile
-
-                    from mivos_tpu.interactive.video_io import load_video
-
-                    min_side = int(q.get("min_side", ["480"])[0])
-                    with tempfile.NamedTemporaryFile(
-                            suffix=f".{fmt}") as tmp:
-                        tmp.write(self._body())
-                        tmp.flush()
-                        video = load_video(tmp.name, min_side=min_side)
-                sid = self.manager.create(video, k)
-                return self._json(200, {"session_id": sid})
-            m = self._SESSION.match(self.path)
-            if m and m.group(2) == "interact":
-                data = _unnpz(self._body())
-                masks = self.manager.interact(
-                    m.group(1), data["labels"], int(data["frame"]))
-                return self._raw(200, _npz({"masks": masks}))
-        except KeyError as e:
-            return self._json(404, {"error": f"not found: {e}"})
-        except (ValueError, OSError) as e:
-            return self._json(400, {"error": str(e)})
+        if self.path.startswith("/v1/sessions?") or \
+                self.path == "/v1/sessions":
+            return self._guard400(self._create_session)
+        m = self._SESSION.match(self.path)
+        if m and m.group(2) == "interact":
+            sid = m.group(1)
+            try:
+                self.manager._get(sid)  # 404 before parsing the body
+            except KeyError:
+                return self._json(404, {"error": "no such session"})
+            return self._guard400(lambda: self._interact(sid))
         self._json(404, {"error": "unknown route"})
+
+    def _guard400(self, fn) -> None:
+        """Any failure inside a request body is the CLIENT's error (bad
+        npz keys, shape mismatches, out-of-range frames, undecodable
+        video...) — always answer 400 with the message rather than
+        letting the exception kill the handler thread with no response
+        (jax shape errors are TypeError, not ValueError)."""
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — see docstring
+            self._json(400, {"error": f"{type(e).__name__}: {e}"})
+
+    def _create_session(self) -> None:
+        from urllib.parse import parse_qs, urlparse
+
+        q = parse_qs(urlparse(self.path).query)
+        k = int(q.get("num_objects", ["1"])[0])
+        fmt = q.get("format", ["npz"])[0]
+        if fmt == "npz":
+            video = _unnpz(self._body())["video"]
+        else:  # raw container bytes (mp4/avi/...): cv2 decode
+            import tempfile
+
+            from mivos_tpu.interactive.video_io import load_video
+
+            min_side = int(q.get("min_side", ["480"])[0])
+            with tempfile.NamedTemporaryFile(suffix=f".{fmt}") as tmp:
+                tmp.write(self._body())
+                tmp.flush()
+                video = load_video(tmp.name, min_side=min_side)
+        sid = self.manager.create(video, k)
+        self._json(200, {"session_id": sid})
+
+    def _interact(self, sid: str) -> None:
+        data = _unnpz(self._body())
+        try:
+            masks = self.manager.interact(sid, data["labels"],
+                                          int(data["frame"]))
+        except KeyError as e:
+            if str(e).strip("'") == sid:  # evicted between check & run
+                return self._json(404, {"error": "no such session"})
+            raise  # missing npz key -> 400 via _guard400
+        self._raw(200, _npz({"masks": masks}))
 
     def do_DELETE(self):
         m = self._SESSION.match(self.path)

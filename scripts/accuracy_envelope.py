@@ -80,12 +80,10 @@ def make_trained_session_inputs(seed: int = 11):
     """Inputs from the pretraining distribution (generation/synthetic):
     ImageNet-normalized moving textured blobs + their GT masks."""
     from mivos_tpu.data.transforms import im_normalize
-    from mivos_tpu.generation.synthetic import (labels_to_onehot,
-                                                synthetic_sequence)
+    from mivos_tpu.generation.synthetic import synthetic_sequence
+    from mivos_tpu.utils.tensor import labels_to_probs
 
     images, labels = synthetic_sequence(seed, T, H, W, K)
-
-    from mivos_tpu.utils.tensor import labels_to_probs
 
     return (im_normalize(images).astype(np.float32),
             np.asarray(labels_to_probs(labels[0], K)),

@@ -141,3 +141,35 @@ class TestHTTPServer:
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(base + "/v1/sessions/00ff00ff/masks")
         assert e.value.code == 404
+        with pytest.raises(urllib.error.HTTPError) as e:
+            self._post(base + "/v1/sessions/00ff00ff/interact",
+                       {"labels": _labels(), "frame": np.int64(0)})
+        assert e.value.code == 404
+
+    def test_bad_request_bodies_get_400(self, base, manager):
+        sid = manager.create(_video(11), K)
+        # Missing npz key -> 400 (not 404: the session exists).
+        with pytest.raises(urllib.error.HTTPError) as e:
+            self._post(base + f"/v1/sessions/{sid}/interact",
+                       {"labels": _labels()})
+        assert e.value.code == 400
+        # Wrong-shape labels -> 400 with the error message, not a dead
+        # handler thread.
+        with pytest.raises(urllib.error.HTTPError) as e:
+            self._post(base + f"/v1/sessions/{sid}/interact",
+                       {"labels": np.zeros((8, 8), np.uint8),
+                        "frame": np.int64(0)})
+        assert e.value.code == 400
+        assert json.load(e.value)["error"]
+        manager.close(sid)
+
+    def test_masks_are_a_snapshot(self, manager):
+        """masks()/interact() return copies — a later round must not
+        mutate a response already handed to a client."""
+        sid = manager.create(_video(12), K)
+        out1 = manager.interact(sid, _labels(), 0)
+        snap = out1.copy()
+        inv = np.where(_labels() == 0, 1, 0).astype(np.uint8)
+        manager.interact(sid, inv, T - 1)
+        np.testing.assert_array_equal(out1, snap)
+        manager.close(sid)
