@@ -78,6 +78,44 @@ class TestSessionManager:
             manager.close(s)
 
 
+class TestConcurrency:
+    def test_hammer_mixed_ops(self, manager):
+        """4 threads x mixed create/interact/masks/close against the
+        shared manager: no exceptions besides expected KeyErrors (LRU
+        eviction under pressure), session count bounded, counters
+        consistent."""
+        import threading
+
+        errs = []
+
+        def worker(seed):
+            rng = np.random.RandomState(seed)
+            try:
+                for i in range(3):
+                    sid = manager.create(_video(seed * 10 + i), K)
+                    try:
+                        out = manager.interact(sid, _labels(), 0)
+                        assert out.shape == (T, H, W)
+                        assert manager.masks(sid).shape == (T, H, W)
+                    except KeyError:
+                        pass  # evicted under pressure — expected
+                    if rng.rand() < 0.5:
+                        manager.close(sid)
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = [threading.Thread(target=worker, args=(s,))
+                   for s in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs
+        assert len(manager) <= manager.max_sessions
+        st = manager.stats()
+        assert st["created"] >= 12
+
+
 class TestHTTPServer:
     @pytest.fixture(scope="class")
     def base(self, manager):
