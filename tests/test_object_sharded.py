@@ -189,6 +189,29 @@ class TestObjectBank2D:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-4)
 
+    def test_2d_read_realistic_shape(self):
+        """Production-scale bank (M=20480, the 480p bank at ~38
+        committed frames) under the 2D object x position layout."""
+        from mivos_tpu.ops.memory_read import memory_read
+        from mivos_tpu.parallel.mesh import make_mesh_nd
+        from mivos_tpu.parallel.sharded_memory import (shard_bank,
+                                                       sharded_memory_read)
+
+        rng = np.random.RandomState(8)
+        k, m, n, ck, cv = 2, 20480, 512, 128, 256
+        mk = jnp.asarray(rng.randn(k, m, ck).astype(np.float32))
+        mv = jnp.asarray(rng.randn(k, m, cv).astype(np.float32))
+        q = jnp.asarray(rng.randn(n, ck).astype(np.float32))
+        valid = jnp.arange(m) < 19000
+        ref = memory_read(mk, mv, q, top_k=50, valid=valid,
+                          backend="xla_exact")
+        mesh = make_mesh_nd(object=2, data=4)
+        smk, smv = shard_bank(mesh, mk, mv, object_axis="object")
+        out = sharded_memory_read(mesh, smk, smv, q, top_k=50,
+                                  valid=valid, object_axis="object")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4)
+
     def test_2d_session_matches_single_device(self):
         from mivos_tpu.parallel.mesh import make_mesh_nd
 
