@@ -31,7 +31,8 @@ import numpy as np
 
 from mivos_tpu.config import MemoryConfig
 from mivos_tpu.core.memory_bank import MemoryBank
-from mivos_tpu.ops.label_codec import (decode_frame, encode_blocks,
+from mivos_tpu.ops.label_codec import (decode_frame, default_cap,
+                                       encode_blocks,
                                        pack_labels as _pack_labels,
                                        unpack_labels as _unpack_labels)
 from mivos_tpu.models.fusion import FusionNet
@@ -424,9 +425,8 @@ class InferenceCore:
         self._codec = mem.label_codec
         if self._codec == "auto" or not self._pack_bits:
             self._codec = "block" if self._pack_bits else "packed"
-        self._block_cap = max(
-            8, int((self.nh // 8) * (self.nw // 8)
-                   * mem.label_block_cap_frac))
+        self._block_cap = default_cap(
+            self.nh, self.nw, frac=mem.label_block_cap_frac)
 
         self.query_buf: Dict[int, Query] = {}
         self.image_buf: Dict[int, jax.Array] = {}

@@ -82,11 +82,13 @@ def layout(h: int, w: int, bits: int, cap: int) -> dict:
                 o_blocks=o_blocks, frame_bytes=o_blocks + cap * bb)
 
 
-def default_cap(h: int, w: int) -> int:
-    """1/8 of the blocks — generously above the boundary share of
-    segmentation masks while keeping the buffer ~8x smaller than the
-    dense map."""
-    return max(8, (h // BLOCK) * (w // BLOCK) // 8)
+def default_cap(h: int, w: int, frac: float = 0.125) -> int:
+    """`frac` of the blocks (default 1/8) — generously above the
+    boundary share of segmentation masks while keeping the buffer ~8x
+    smaller than the dense map. The single home of the cap policy: cap
+    determines frame_bytes and every decode offset, so sessions
+    (core/inference.py) and wire-blob consumers must agree on it."""
+    return max(8, int((h // BLOCK) * (w // BLOCK) * frac))
 
 
 def encode_blocks(lab: jnp.ndarray, bits: int, cap: int) -> jnp.ndarray:

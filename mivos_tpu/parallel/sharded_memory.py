@@ -22,12 +22,13 @@ reference inference_core.py:36).
 """
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mivos_tpu.ops.memory_read import affinity_matrix
 
 NEG_INF = -1e30
 
@@ -55,11 +56,15 @@ def sharded_memory_read(mesh: Mesh, mem_k: jax.Array, mem_v: jax.Array,
     obj = object_axis  # spec shorthand (None = replicated over objects)
     if valid is None:
         valid = jnp.ones((m,), bool)
-    scale = 1.0 / math.sqrt(ck)
 
     def local(mk, mv, qk, vl):
-        aff = jnp.einsum("kmc,nc->knm", mk, qk * scale,
-                         preferred_element_type=jnp.float32)
+        # HIGHEST precision: on TPU the default fp32 matmul is a single
+        # bf16 MXU pass (~0.4% relative), which at O(10)-magnitude
+        # trained-encoder affinities perturbs both the top-k selection
+        # and exp weights — the same failure mode the Pallas kernel's
+        # _affinity fixes. Exactness of this read requires the local
+        # affinity to match ops/memory_read.affinity_matrix bit-for-bit.
+        aff = affinity_matrix(mk, qk)
         aff = jnp.where(vl[None, None, :], aff, NEG_INF)
         local_k = min(top_k, aff.shape[-1])
         cand = jax.lax.top_k(aff, local_k)[0]            # (K, N, local_k)

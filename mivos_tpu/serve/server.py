@@ -28,6 +28,11 @@ HTTP API (serve.py at the repo root binds it):
   GET    /healthz                     -> {"ok": true, "sessions": N}
   GET    /metrics                     -> counters + interact latency
                                       percentiles (SessionManager.stats)
+
+Status codes: 404 unknown/evicted session (typed SessionNotFound), 400
+anything wrong inside a request body, 503 + Retry-After when the
+manager is at max_sessions and no slot frees within the create timeout
+(max_sessions is a HARD cap — it bounds per-chip HBM).
 """
 from __future__ import annotations
 
@@ -43,6 +48,14 @@ from typing import Dict
 import numpy as np
 
 from mivos_tpu.config import MemoryConfig
+
+
+class SessionNotFound(KeyError):
+    """Unknown/evicted session id (HTTP 404)."""
+
+
+class CapacityError(RuntimeError):
+    """Manager at max_sessions and no room freed in time (HTTP 503)."""
 
 
 class _Session:
@@ -71,6 +84,9 @@ class SessionManager:
         self.max_sessions = max_sessions
         self._sessions: Dict[str, _Session] = {}
         self._lock = threading.Lock()
+        # Signalled whenever room may have opened (a close, an eviction,
+        # or an in-flight creation resolving) — create() waits on it.
+        self._room = threading.Condition(self._lock)
         self._next_dev = 0
         # Observability counters (GET /metrics): lifetime totals + a
         # rolling window of interaction latencies for the percentiles.
@@ -80,14 +96,19 @@ class SessionManager:
         self._pending = 0  # creations in flight (reserve their slots)
         self._latencies: list = []  # rolling, capped at 512
 
-    def warm(self, t: int, h: int, w: int, num_objects: int) -> float:
+    def warm(self, t: int, h: int, w: int, num_objects: int,
+             interactions: int = 1) -> float:
         """Precompile the session executables for one video shape
-        class: run a throwaway session (zeros video, one interaction)
-        at (t, h, w, K). Executables are keyed by shape BUCKETS (time
-        bucket, scan chunk, bank capacity), so any video in the same
-        buckets then starts hot — on TPU VMs the persistent XLA compile
-        cache extends this across server restarts. Returns seconds
-        spent (the cold-start cost the first user would have paid)."""
+        class: run a throwaway session (zeros video, `interactions`
+        rounds) at (t, h, w, K). Executables are keyed by shape BUCKETS
+        (time bucket, scan chunk, bank capacity), so any video in the
+        same buckets then starts hot — on TPU VMs the persistent XLA
+        compile cache extends this across server restarts. Bank
+        capacity GROWS with rounds (each interaction memorizes more
+        frames), so a 1-round warm leaves later rounds of real sessions
+        paying bucket-crossing compiles; pass interactions≈the expected
+        rounds per session to absorb those too. Returns seconds spent
+        (the cold-start cost the first user would have paid)."""
         t0 = time.monotonic()
         video = np.zeros((t, h, w, 3), np.uint8)
         labels = np.zeros((h, w), np.uint8)
@@ -95,14 +116,26 @@ class SessionManager:
             labels[:, k::num_objects] = k + 1
         sid = self.create(video, num_objects)
         try:
-            self.interact(sid, labels, 0)
+            # Spread rounds over distinct frames: pass lengths (and so
+            # chunk splits) differ per interaction frame, compiling the
+            # same executables a real multi-round session hits.
+            for i in range(max(1, interactions)):
+                self.interact(sid, labels, (i * max(1, t // 3)) % t)
         finally:
             self.close(sid)
         return time.monotonic() - t0
 
-    def create(self, video: np.ndarray, num_objects: int) -> str:
+    def create(self, video: np.ndarray, num_objects: int,
+               timeout: float = 120.0) -> str:
         """video: (T, H, W, 3) uint8 (raw frames; normalized on device)
-        or float32 (pre-normalized). Returns the session id."""
+        or float32 (pre-normalized). Returns the session id.
+
+        max_sessions is a HARD cap (it bounds per-chip HBM:
+        device-resident video + bank per session). The slot is reserved
+        BEFORE the slow session build; when eviction cannot make room
+        (every session busy or slots held by in-flight creations), this
+        waits up to `timeout` seconds for a close/eviction/creation to
+        free one, then raises CapacityError (HTTP 503)."""
         import jax
 
         from mivos_tpu.core.inference import InferenceCore
@@ -110,12 +143,24 @@ class SessionManager:
         if video.ndim != 4 or video.shape[-1] != 3:
             raise ValueError(f"video must be (T, H, W, 3), got "
                              f"{video.shape}")
-        with self._lock:
-            # Reserve the slot BEFORE the (slow) session build so
-            # concurrent creations cannot overshoot max_sessions — the
-            # cap bounds per-chip HBM (device-resident video + bank).
+        deadline = time.monotonic() + timeout
+        with self._room:
             self._pending += 1
-            self._evict_locked(keep_room=self._pending)
+            try:
+                while True:
+                    self._evict_locked(keep_room=self._pending)
+                    if (len(self._sessions) + self._pending
+                            <= self.max_sessions):
+                        break
+                    left = deadline - time.monotonic()
+                    if left <= 0:
+                        raise CapacityError(
+                            f"at capacity ({self.max_sessions} sessions)")
+                    self._room.wait(left)
+            except BaseException:
+                self._pending -= 1
+                self._room.notify_all()
+                raise
             dev = self.devices[self._next_dev % len(self.devices)]
             self._next_dev += 1
         try:
@@ -128,8 +173,9 @@ class SessionManager:
                 self._sessions[sid] = _Session(core, dev, num_objects)
                 self._created += 1
         finally:
-            with self._lock:
+            with self._room:
                 self._pending -= 1
+                self._room.notify_all()
         return sid
 
     def interact(self, sid: str, labels: np.ndarray,
@@ -149,10 +195,13 @@ class SessionManager:
             mask = labels_to_probs(np.asarray(labels), s.k)
             out = s.core.interact(mask, int(frame_idx)).copy()
         s.last_used = time.monotonic()
-        with self._lock:
+        with self._room:
             self._interactions += 1
             self._latencies.append(s.last_used - t0)
             del self._latencies[:-512]
+            # The session is idle again, i.e. evictable — wake any
+            # create() blocked on capacity.
+            self._room.notify_all()
         return out
 
     def masks(self, sid: str) -> np.ndarray:
@@ -165,8 +214,11 @@ class SessionManager:
             return s.core.np_masks.copy()
 
     def close(self, sid: str) -> bool:
-        with self._lock:
-            return self._sessions.pop(sid, None) is not None
+        with self._room:
+            closed = self._sessions.pop(sid, None) is not None
+            if closed:
+                self._room.notify_all()
+            return closed
 
     def __len__(self) -> int:
         with self._lock:
@@ -176,7 +228,7 @@ class SessionManager:
         with self._lock:
             s = self._sessions.get(sid)
             if s is None:
-                raise KeyError(sid)
+                raise SessionNotFound(sid)
             return s
 
     def _evict_locked(self, keep_room: int) -> None:
@@ -261,7 +313,7 @@ class VOSRequestHandler(BaseHTTPRequestHandler):
         if m and m.group(2) == "masks":
             try:
                 masks = self.manager.masks(m.group(1))
-            except KeyError:
+            except SessionNotFound:
                 return self._json(404, {"error": "no such session"})
             return self._raw(200, _npz({"masks": masks}))
         self._json(404, {"error": "unknown route"})
@@ -275,19 +327,32 @@ class VOSRequestHandler(BaseHTTPRequestHandler):
             sid = m.group(1)
             try:
                 self.manager._get(sid)  # 404 before parsing the body
-            except KeyError:
+            except SessionNotFound:
                 return self._json(404, {"error": "no such session"})
             return self._guard400(lambda: self._interact(sid))
         self._json(404, {"error": "unknown route"})
 
     def _guard400(self, fn) -> None:
-        """Any failure inside a request body is the CLIENT's error (bad
-        npz keys, shape mismatches, out-of-range frames, undecodable
-        video...) — always answer 400 with the message rather than
-        letting the exception kill the handler thread with no response
-        (jax shape errors are TypeError, not ValueError)."""
+        """Map manager exceptions to status codes. SessionNotFound (the
+        id vanished, e.g. evicted between route check and run) -> 404;
+        CapacityError -> 503 + Retry-After; anything else raised inside
+        a request body is the CLIENT's error (bad npz keys, shape
+        mismatches, out-of-range frames, undecodable video...) — answer
+        400 with the message rather than letting the exception kill the
+        handler thread with no response (jax shape errors are TypeError,
+        not ValueError)."""
         try:
             fn()
+        except SessionNotFound:
+            self._json(404, {"error": "no such session"})
+        except CapacityError as e:
+            self.send_response(503)
+            body = json.dumps({"error": str(e)}).encode()
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Retry-After", "5")
+            self.end_headers()
+            self.wfile.write(body)
         except Exception as e:  # noqa: BLE001 — see docstring
             self._json(400, {"error": f"{type(e).__name__}: {e}"})
 
@@ -314,13 +379,11 @@ class VOSRequestHandler(BaseHTTPRequestHandler):
 
     def _interact(self, sid: str) -> None:
         data = _unnpz(self._body())
-        try:
-            masks = self.manager.interact(sid, data["labels"],
-                                          int(data["frame"]))
-        except KeyError as e:
-            if str(e).strip("'") == sid:  # evicted between check & run
-                return self._json(404, {"error": "no such session"})
-            raise  # missing npz key -> 400 via _guard400
+        # SessionNotFound (evicted between route check and run) -> 404
+        # and a missing npz key (plain KeyError) -> 400, both via
+        # _guard400's typed mapping.
+        masks = self.manager.interact(sid, data["labels"],
+                                      int(data["frame"]))
         self._raw(200, _npz({"masks": masks}))
 
     def do_DELETE(self):

@@ -10,5 +10,5 @@ from pallas_kernel_check import encoder_banks  # noqa: E402
 
 mk, mv, q = encoder_banks("weights/prop_synthetic.npz", n_frames=13)
 np.savez("/tmp/banks.npz", mk=np.asarray(mk, np.float32),
-         q=np.asarray(q, np.float32))
-print("saved", mk.shape, q.shape)
+         mv=np.asarray(mv, np.float32), q=np.asarray(q, np.float32))
+print("saved", mk.shape, mv.shape, q.shape)

@@ -40,6 +40,11 @@ def main():
                         "video shape class before binding the port "
                         "(e.g. 100,480,854,3) — the first user then "
                         "skips the cold-compile stall")
+    p.add_argument("--warm_rounds", type=int, default=1,
+                   help="interactions per warm session: bank capacity "
+                        "buckets grow with rounds, so warming ~the "
+                        "expected rounds/session also absorbs the "
+                        "bucket-crossing compiles of later rounds")
     args = p.parse_args()
 
     from mivos_tpu.checkpoint import (convert_fusion_net, convert_prop_net,
@@ -66,7 +71,8 @@ def main():
         t, h, w, k = (int(x) for x in args.warm.split(","))
         print(f"warming executables for (T={t}, {h}x{w}, K={k})...",
               flush=True)
-        print(f"warm done in {mgr.warm(t, h, w, k):.1f}s")
+        dt = mgr.warm(t, h, w, k, interactions=args.warm_rounds)
+        print(f"warm done in {dt:.1f}s")
 
     srv = make_server(mgr, host=args.host, port=args.port, verbose=True)
     print(f"serving on http://{srv.server_address[0]}:"

@@ -59,6 +59,10 @@ class TestSessionManager:
         before = len(manager)
         dt = manager.warm(T, H, W, K)
         assert dt > 0 and len(manager) == before  # throwaway closed
+        # Multi-round warm (absorbs bank bucket-crossing compiles)
+        # interacts at distinct frames and still cleans up.
+        dt = manager.warm(T, H, W, K, interactions=3)
+        assert dt > 0 and len(manager) == before
 
     def test_metrics(self, manager):
         sid = manager.create(_video(9), K)
@@ -75,6 +79,55 @@ class TestSessionManager:
             manager.interact(sids[0], _labels(), 0)  # evicted (oldest)
         assert manager.masks(sids[-1]).shape == (T, H, W)
         for s in sids[1:]:
+            manager.close(s)
+
+
+class TestCapacity:
+    def test_hard_cap_times_out_when_all_busy(self, manager):
+        """max_sessions is a hard HBM bound: when every session is
+        mid-interaction (lock held, not evictable), create() waits and
+        then raises CapacityError instead of overshooting."""
+        from mivos_tpu.serve.server import CapacityError
+
+        sids = [manager.create(_video(40 + i), 1) for i in range(3)]
+        assert len(manager) == 3
+        held = [manager._get(s).lock for s in sids]
+        for lk in held:
+            lk.acquire()  # simulate in-flight interactions
+        try:
+            with pytest.raises(CapacityError):
+                manager.create(_video(50), 1, timeout=0.2)
+            assert len(manager) == 3
+        finally:
+            for lk in held:
+                lk.release()
+        for s in sids:
+            manager.close(s)
+
+    def test_blocked_create_proceeds_when_room_frees(self, manager):
+        """A create() waiting on capacity wakes up when a session
+        closes (close/interact notify the capacity condition)."""
+        sids = [manager.create(_video(60 + i), 1) for i in range(3)]
+        held = [manager._get(s).lock for s in sids]
+        for lk in held:
+            lk.acquire()
+        result = {}
+
+        def blocked():
+            result["sid"] = manager.create(_video(70), 1, timeout=10.0)
+
+        th = threading.Thread(target=blocked)
+        th.start()
+        th.join(0.2)
+        assert th.is_alive()  # genuinely blocked at capacity
+        held[0].release()
+        manager.close(sids[0])  # frees a slot + notifies
+        th.join(10.0)
+        assert not th.is_alive() and "sid" in result
+        assert len(manager) <= manager.max_sessions
+        for lk in held[1:]:
+            lk.release()
+        for s in sids[1:] + [result["sid"]]:
             manager.close(s)
 
 
