@@ -31,8 +31,8 @@ import numpy as np
 
 from mivos_tpu.config import MemoryConfig
 from mivos_tpu.core.memory_bank import MemoryBank
-from mivos_tpu.ops.label_codec import (decode_frame, default_cap,
-                                       encode_blocks,
+from mivos_tpu.ops.label_codec import (decode_chunk, decode_frame,
+                                       default_cap, encode_blocks,
                                        pack_labels as _pack_labels,
                                        unpack_labels as _unpack_labels)
 from mivos_tpu.models.fusion import FusionNet
@@ -522,7 +522,8 @@ class InferenceCore:
     # ----- core passes -----
 
     def do_pass(self, key_k, key_v, idx: int, forward: bool,
-                step_cb: Optional[Callable] = None) -> int:
+                step_cb: Optional[Callable] = None,
+                chunk_cb: Optional[Callable] = None) -> int:
         """Propagate from interacted frame idx until the closest other
         interacted frame (reference inference_core.py:122-200).
         key_k/key_v: (K, n, C) memory of the interacted frame (already in
@@ -552,7 +553,7 @@ class InferenceCore:
                 len(this_range) > 0:
             self._do_pass_scan(key_k, idx, forward, closest_ti,
                                list(this_range), total_m, num_certain,
-                               do_fuse)
+                               do_fuse, chunk_cb=chunk_cb)
             return closest_ti
 
         self.bank.reset(total_m, self.certain_k, self.certain_v)
@@ -609,14 +610,22 @@ class InferenceCore:
 
     def _do_pass_scan(self, key_k, idx: int, forward: bool,
                       closest_ti: int, frames: List[int], total_m: int,
-                      num_certain: int, do_fuse: bool) -> None:
+                      num_certain: int, do_fuse: bool,
+                      chunk_cb: Optional[Callable] = None) -> None:
         """Chunked scan propagation (see build_scan_pass). The mem_freq
         commit schedule is mirrored into per-step row arrays; padded
         steps write to a scratch slot beyond every committed row. The
         pass runs as fixed-size scan chunks (one executable for every
         pass length) with the bank carried across chunks, and each
         chunk's packed label map starts an async host copy immediately —
-        the download of chunk i rides under chunk i+1's compute."""
+        the download of chunk i rides under chunk i+1's compute.
+
+        chunk_cb(frame_indices, labels): progressive-streaming hook
+        (serve/server.py's /progress + partial masks; the reference GUI
+        gets the same via per-frame callbacks, interactive_gui.py:530).
+        Called with each chunk's decoded UNPADDED (len, h, w) uint8
+        labels, pipelined one chunk behind the dispatches so the
+        blocking host fetch rides under the next chunk's compute."""
         n = len(frames)
         sizes = self._chunk_sizes(n)
         n_pad_total = sum(sizes)
@@ -701,6 +710,7 @@ class InferenceCore:
         # fused cache write donates the previous buffers)
         bank_k, bank_v = self.bank.keys, self.bank.values
         chunk_probs, chunk_packed, offsets = [], [], []
+        pending = None  # previous chunk's (valid frames, packed) to stream
         c0 = 0
         for size in sizes:
             c1 = c0 + size
@@ -726,7 +736,13 @@ class InferenceCore:
             chunk_probs.append(probs)
             chunk_packed.append(packed)
             offsets.append(c0)
+            if chunk_cb is not None:
+                if pending is not None:
+                    self._emit_chunk(chunk_cb, *pending)
+                pending = (frames[c0:min(c1, n)], packed, probs)
             c0 = c1
+        if chunk_cb is not None and pending is not None:
+            self._emit_chunk(chunk_cb, *pending)
         self.bank.keys, self.bank.values = bank_k, bank_v
         self.bank.num_slots = m_front  # final commit count (observability)
 
@@ -738,6 +754,32 @@ class InferenceCore:
             self.set_prob(ti, chunk_probs[ci][row])
             if self._pack_bits:  # packable class count (K+1 <= 16)
                 self._label_cache[ti] = (chunk_packed[ci], row)
+
+    def _emit_chunk(self, cb: Callable, tis: List[int],
+                    packed: jax.Array, probs: jax.Array) -> None:
+        """Decode one scan chunk's shipped label blob and stream it to
+        `cb(frame_indices, (len, h, w) uint8 labels)`. Runs one chunk
+        behind the dispatch loop, so the blocking fetch here waits on a
+        host copy that already overlapped the next chunk's compute.
+        Block-sparse frames that overflowed the mixed-block cap fall
+        back to an on-device argmax of that chunk's probs (one small
+        extra dispatch, exception path only) so the stream always
+        covers every frame of the chunk."""
+        arr = np.asarray(packed)[:len(tis)]  # drop padded scratch steps
+        if self._codec == "block":
+            labs, bad = decode_chunk(arr, self.nh, self.nw,
+                                     self._pack_bits, self._block_cap)
+        elif self._pack_bits:
+            labs = _unpack_labels(arr, self._pack_bits)
+            bad = np.zeros(len(tis), bool)
+        else:
+            labs, bad = arr, np.zeros(len(tis), bool)
+        if bad.any():  # dense fallback for overflowed frames
+            rows = np.nonzero(bad)[0]
+            labs[rows] = np.asarray(
+                self.argmax_batch_fn(probs[jnp.asarray(rows)]))
+        lw, uw, lh, uh = self.pad
+        cb(list(tis), labs[:, lh: self.nh - uh, lw: self.nw - uw])
 
     # ----- device query cache (multi-round reuse) -----
 
@@ -792,10 +834,16 @@ class InferenceCore:
 
     def interact(self, mask, idx: int,
                  total_cb: Optional[Callable] = None,
-                 step_cb: Optional[Callable] = None) -> np.ndarray:
+                 step_cb: Optional[Callable] = None,
+                 chunk_cb: Optional[Callable] = None) -> np.ndarray:
         """mask: (K+1, h, w, 1) probabilities (bg included) on the RAW
         (unpadded) grid. Returns (T, h, w) uint8 label maps
-        (reference inference_core.py:219-271)."""
+        (reference inference_core.py:219-271).
+
+        chunk_cb(frame_indices, (n, h, w) uint8 labels): progressive
+        streaming — called with each scan chunk's decoded labels as the
+        pass runs (scan path only; see _do_pass_scan). The final return
+        value is still the complete, authoritative label map."""
         self.interacted.add(idx)
         mask = jnp.asarray(mask)
         mask, _ = pad_divide_by(mask, 16)
@@ -820,8 +868,10 @@ class InferenceCore:
             if total > 0:
                 total_cb(total)
 
-        self.do_pass(key_k, key_v, idx, True, step_cb=step_cb)
-        self.do_pass(key_k, key_v, idx, False, step_cb=step_cb)
+        self.do_pass(key_k, key_v, idx, True, step_cb=step_cb,
+                     chunk_cb=chunk_cb)
+        self.do_pass(key_k, key_v, idx, False, step_cb=step_cb,
+                     chunk_cb=chunk_cb)
         return self._render_masks()
 
     def update_mask_only(self, prob_mask, idx: int) -> np.ndarray:

@@ -24,6 +24,10 @@ HTTP API (serve.py at the repo root binds it):
   POST   /v1/sessions/<id>/interact   body: npz{labels (h,w) uint8,
                                       frame []}  -> npz{masks (T,h,w)}
   GET    /v1/sessions/<id>/masks      -> npz{masks}
+  GET    /v1/sessions/<id>/progress   -> npz{round, done, frames (n,),
+                                      masks (n,h,w)} — partial masks
+                                      streamed per scan chunk WHILE an
+                                      interact is still running
   DELETE /v1/sessions/<id>            -> {"closed": true}
   GET    /healthz                     -> {"ok": true, "sessions": N}
   GET    /metrics                     -> counters + interact latency
@@ -65,6 +69,20 @@ class _Session:
         self.k = num_objects
         self.lock = threading.Lock()
         self.last_used = time.monotonic()
+        # Set (under self.lock) by eviction/shutdown; interact()/masks()
+        # re-check it AFTER acquiring the lock so a request that
+        # resolved the id just before eviction 404s instead of running
+        # on a zombie session.
+        self.closed = False
+        # Progressive-streaming state (GET /progress): the scan pass
+        # streams each chunk's decoded labels here while interact() is
+        # still running. Guarded by plock — never by self.lock, which
+        # the in-flight interact holds for its whole duration.
+        self.plock = threading.Lock()
+        self.prog_round = 0          # bumps at each interact() start
+        self.prog_done = True        # no round in flight
+        self.prog_have = np.zeros(core.t, bool)
+        self.prog_masks = np.zeros_like(core.np_masks)
 
 
 class SessionManager:
@@ -94,6 +112,7 @@ class SessionManager:
         self._interactions = 0
         self._evicted = 0
         self._pending = 0  # creations in flight (reserve their slots)
+        self._draining = False  # shutdown(): refuse new work
         self._latencies: list = []  # rolling, capped at 512
 
     def warm(self, t: int, h: int, w: int, num_objects: int,
@@ -148,6 +167,8 @@ class SessionManager:
             self._pending += 1
             try:
                 while True:
+                    if self._draining:
+                        raise CapacityError("server draining")
                     self._evict_locked(keep_room=self._pending)
                     if (len(self._sessions) + self._pending
                             <= self.max_sessions):
@@ -186,14 +207,35 @@ class SessionManager:
 
         from mivos_tpu.utils.tensor import labels_to_probs
 
+        if self._draining:
+            raise CapacityError("server draining")
         s = self._get(sid)
         # Touch last_used BEFORE the (possibly minutes-long cold
         # compile) interaction so an active session is not the LRU
         # eviction victim mid-flight.
         s.last_used = t0 = time.monotonic()
         with s.lock, jax.default_device(s.device):
+            if s.closed:  # evicted between _get and the lock acquire
+                raise SessionNotFound(sid)
+            with s.plock:  # new round: reset the progress stream
+                s.prog_round += 1
+                s.prog_done = False
+                s.prog_have[:] = False
+
+            def _chunk(tis, labs):
+                with s.plock:
+                    s.prog_masks[tis] = labs
+                    s.prog_have[tis] = True
+
             mask = labels_to_probs(np.asarray(labels), s.k)
-            out = s.core.interact(mask, int(frame_idx)).copy()
+            try:
+                out = s.core.interact(mask, int(frame_idx),
+                                      chunk_cb=_chunk).copy()
+            finally:
+                with s.plock:  # final masks are authoritative
+                    s.prog_masks[:] = s.core.np_masks
+                    s.prog_have[:] = True
+                    s.prog_done = True
         s.last_used = time.monotonic()
         with self._room:
             self._interactions += 1
@@ -207,18 +249,65 @@ class SessionManager:
     def masks(self, sid: str) -> np.ndarray:
         s = self._get(sid)
         with s.lock:
+            if s.closed:
+                raise SessionNotFound(sid)
             s.last_used = time.monotonic()
             # Copy under the lock: np_masks is the session's live
             # buffer, mutated in place by the next interact — returning
             # it raw would let a concurrent round tear the response.
             return s.core.np_masks.copy()
 
+    def progress(self, sid: str) -> Dict:
+        """Partial results of the round in flight (or the last finished
+        one): {"round", "done", "frames" (n,) int32, "masks" (n, h, w)
+        uint8}. Reads ONLY the plock-guarded stream buffer the scan
+        chunks publish into, so it answers in microseconds while a
+        minutes-long interact still runs — the progressive-mask analog
+        of the reference GUI's per-frame progress callbacks
+        (interactive_gui.py:530-540). A 300-frame interact's first
+        chunk lands here after one scan chunk (~1 s on TPU), not after
+        the full pass."""
+        s = self._get(sid)
+        with s.plock:
+            tis = np.nonzero(s.prog_have)[0].astype(np.int32)
+            return {"round": s.prog_round, "done": s.prog_done,
+                    "frames": tis, "masks": s.prog_masks[tis].copy()}
+
     def close(self, sid: str) -> bool:
         with self._room:
-            closed = self._sessions.pop(sid, None) is not None
-            if closed:
+            s = self._sessions.pop(sid, None)
+            if s is not None:
+                # An interact already past its closed-check finishes and
+                # returns (the client asked for the close; its in-flight
+                # result is still delivered) — later calls 404.
+                s.closed = True
                 self._room.notify_all()
-            return closed
+            return s is not None
+
+    def shutdown(self, timeout: float = 30.0) -> bool:
+        """Drain-style shutdown: stop accepting creates/interacts
+        (CapacityError -> HTTP 503), wait up to `timeout` for in-flight
+        interactions to finish, then free every session. Returns True
+        if fully drained (False: some interaction was still running at
+        the deadline; its session is closed out from under it)."""
+        deadline = time.monotonic() + timeout
+        with self._room:
+            self._draining = True
+            self._room.notify_all()  # fail parked create()s fast
+        drained = True
+        for s in list(self._sessions.values()):
+            # Acquiring the session lock = its in-flight work is done.
+            if s.lock.acquire(timeout=max(0.0, deadline
+                                          - time.monotonic())):
+                s.closed = True
+                s.lock.release()
+            else:
+                s.closed = True
+                drained = False
+        with self._room:
+            self._sessions.clear()
+            self._room.notify_all()
+        return drained
 
     def __len__(self) -> int:
         with self._lock:
@@ -232,15 +321,34 @@ class SessionManager:
             return s
 
     def _evict_locked(self, keep_room: int) -> None:
+        """Evict oldest-idle sessions until keep_room slots are free.
+        Caller holds self._room. Eviction HOLDS the victim's session
+        lock while marking it closed: an interact() that resolved the
+        id just before either beats us to the lock (then the acquire
+        below fails — not evictable) or acquires after us and sees
+        s.closed -> SessionNotFound, never a silent run on a zombie.
+        If nothing is idle the caller waits on _room (no overshoot)."""
+        woke = False
         while len(self._sessions) > self.max_sessions - keep_room:
-            # Never evict a session that is mid-interaction (lock held).
-            idle = [k for k, s in self._sessions.items()
-                    if not s.lock.locked()]
-            if not idle:
-                return  # everyone is busy; allow transient overshoot
-            oldest = min(idle, key=lambda k: self._sessions[k].last_used)
-            del self._sessions[oldest]
+            evicted = None
+            for k in sorted(self._sessions,
+                            key=lambda k: self._sessions[k].last_used):
+                s = self._sessions[k]
+                if s.lock.acquire(blocking=False):
+                    try:
+                        s.closed = True
+                    finally:
+                        s.lock.release()
+                    evicted = k
+                    break
+            if evicted is None:
+                break  # everyone mid-interaction; create() waits
+            del self._sessions[evicted]
             self._evicted += 1
+            woke = True
+        if woke:
+            # Room opened: wake other create()s parked in wait().
+            self._room.notify_all()
 
     def stats(self) -> Dict:
         with self._lock:
@@ -275,18 +383,22 @@ class VOSRequestHandler(BaseHTTPRequestHandler):
     """Routes the HTTP API onto a SessionManager (set as the server's
     `manager` attribute by make_server)."""
 
-    _SESSION = re.compile(r"^/v1/sessions/([0-9a-f]+)/?(masks|interact)?$")
+    _SESSION = re.compile(
+        r"^/v1/sessions/([0-9a-f]+)/?(masks|interact|progress)?$")
 
     # --- helpers -----------------------------------------------------
-    def _json(self, code: int, obj) -> None:
+    def _json(self, code: int, obj, headers: Dict = None) -> None:
         body = json.dumps(obj).encode()
-        self._raw(code, body, "application/json")
+        self._raw(code, body, "application/json", headers)
 
     def _raw(self, code: int, body: bytes,
-             ctype: str = "application/octet-stream") -> None:
+             ctype: str = "application/octet-stream",
+             headers: Dict = None) -> None:
         self.send_response(code)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
+        for k, v in (headers or {}).items():
+            self.send_header(k, v)
         self.end_headers()
         self.wfile.write(body)
 
@@ -316,6 +428,17 @@ class VOSRequestHandler(BaseHTTPRequestHandler):
             except SessionNotFound:
                 return self._json(404, {"error": "no such session"})
             return self._raw(200, _npz({"masks": masks}))
+        if m and m.group(2) == "progress":
+            # Progressive streaming: poll while an interact runs; the
+            # scan pass publishes each chunk's masks as it completes.
+            try:
+                p = self.manager.progress(m.group(1))
+            except SessionNotFound:
+                return self._json(404, {"error": "no such session"})
+            return self._raw(200, _npz(
+                {"round": np.int32(p["round"]),
+                 "done": np.uint8(p["done"]),
+                 "frames": p["frames"], "masks": p["masks"]}))
         self._json(404, {"error": "unknown route"})
 
     def do_POST(self):
@@ -346,13 +469,7 @@ class VOSRequestHandler(BaseHTTPRequestHandler):
         except SessionNotFound:
             self._json(404, {"error": "no such session"})
         except CapacityError as e:
-            self.send_response(503)
-            body = json.dumps({"error": str(e)}).encode()
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(body)))
-            self.send_header("Retry-After", "5")
-            self.end_headers()
-            self.wfile.write(body)
+            self._json(503, {"error": str(e)}, headers={"Retry-After": "5"})
         except Exception as e:  # noqa: BLE001 — see docstring
             self._json(400, {"error": f"{type(e).__name__}: {e}"})
 
@@ -374,7 +491,12 @@ class VOSRequestHandler(BaseHTTPRequestHandler):
                 tmp.write(self._body())
                 tmp.flush()
                 video = load_video(tmp.name, min_side=min_side)
-        sid = self.manager.create(video, k)
+        # A short timeout here, unlike create()'s default: a queued
+        # HTTP create pins a ThreadingHTTPServer handler thread, so at
+        # capacity we 503 (+Retry-After) quickly rather than pile up
+        # threads for 2 minutes each under a create flood.
+        sid = self.manager.create(
+            video, k, timeout=getattr(self.server, "create_timeout", 5.0))
         self._json(200, {"session_id": sid})
 
     def _interact(self, sid: str) -> None:
@@ -395,11 +517,30 @@ class VOSRequestHandler(BaseHTTPRequestHandler):
 
 
 def make_server(manager: SessionManager, host: str = "127.0.0.1",
-                port: int = 0, verbose: bool = False) -> ThreadingHTTPServer:
+                port: int = 0, verbose: bool = False,
+                create_timeout: float = 5.0) -> ThreadingHTTPServer:
     """Bind (but do not start) the HTTP server; port 0 picks a free
     port (server.server_address reports it). Call serve_forever() or
-    run it in a thread."""
+    run it in a thread. create_timeout: how long an HTTP create waits
+    at capacity before 503 (short — each one pins a handler thread).
+
+    Graceful stop: shutdown_gracefully(srv) (or srv.shutdown() then
+    manager.shutdown() by hand)."""
     srv = ThreadingHTTPServer((host, port), VOSRequestHandler)
     srv.manager = manager  # type: ignore[attr-defined]
     srv.verbose = verbose  # type: ignore[attr-defined]
+    srv.create_timeout = create_timeout  # type: ignore[attr-defined]
     return srv
+
+
+def shutdown_gracefully(srv: ThreadingHTTPServer,
+                        timeout: float = 30.0) -> bool:
+    """Drain-style stop: stop the accept loop (no new connections; the
+    in-flight ThreadingHTTPServer handler threads keep running), drain
+    the manager (in-flight interactions finish, queued work 503s,
+    sessions freed), then close the socket. Returns the manager's
+    drained flag."""
+    srv.shutdown()  # stops serve_forever; running handlers continue
+    drained = srv.manager.shutdown(timeout)  # type: ignore[attr-defined]
+    srv.server_close()
+    return drained

@@ -34,6 +34,13 @@ def main():
     p.add_argument("--top_k", type=int, default=50)
     p.add_argument("--mem_freq", type=int, default=5)
     p.add_argument("--max_sessions", type=int, default=8)
+    p.add_argument("--create_timeout", type=float, default=5.0,
+                   help="seconds an HTTP create waits at capacity "
+                        "before 503 (each queued create pins a handler "
+                        "thread — keep this short)")
+    p.add_argument("--drain_timeout", type=float, default=30.0,
+                   help="graceful-shutdown budget: seconds to wait for "
+                        "in-flight interactions on SIGINT/SIGTERM")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--warm", default=None, metavar="T,H,W,K",
                    help="precompile the session executables for this "
@@ -52,7 +59,8 @@ def main():
     from mivos_tpu.config import MemoryConfig
     from mivos_tpu.models.fusion import FusionNet
     from mivos_tpu.models.propagation import PropagationNetwork
-    from mivos_tpu.serve import SessionManager, make_server
+    from mivos_tpu.serve import (SessionManager, make_server,
+                                 shutdown_gracefully)
 
     dtype = None if args.dtype == "float32" else args.dtype
     prop_net = PropagationNetwork(dtype=dtype)
@@ -74,10 +82,24 @@ def main():
         dt = mgr.warm(t, h, w, k, interactions=args.warm_rounds)
         print(f"warm done in {dt:.1f}s")
 
-    srv = make_server(mgr, host=args.host, port=args.port, verbose=True)
+    srv = make_server(mgr, host=args.host, port=args.port, verbose=True,
+                      create_timeout=args.create_timeout)
     print(f"serving on http://{srv.server_address[0]}:"
           f"{srv.server_address[1]} ({len(mgr.devices)} device(s))")
-    srv.serve_forever()
+    import signal
+    import threading
+
+    stop = threading.Event()
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        signal.signal(sig, lambda *_: stop.set())
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    stop.wait()
+    # Graceful drain: stop accepting, let in-flight interactions
+    # finish (up to --drain_timeout), free sessions, close the socket.
+    print("draining...", flush=True)
+    drained = shutdown_gracefully(srv, timeout=args.drain_timeout)
+    print(f"shutdown complete (drained={drained})")
 
 
 if __name__ == "__main__":

@@ -18,14 +18,25 @@ T, H, W, K = 3, 48, 64, 2
 
 
 @pytest.fixture(scope="module")
-def manager():
+def net():
     prop = PropagationNetwork(top_k=10)
     f0 = jnp.zeros((H, W, 3))
     params = prop.init(jax.random.PRNGKey(0), f0,
                        jnp.zeros((K, H, W, 1)), f0)
-    return SessionManager(prop, params,
-                          mem=MemoryConfig(top_k=10, mem_freq=2),
+    return prop, params
+
+
+@pytest.fixture(scope="module")
+def manager(net):
+    return SessionManager(*net, mem=MemoryConfig(top_k=10, mem_freq=2),
                           max_sessions=3)
+
+
+def _fresh_manager(net, max_sessions=2):
+    """Private manager for tests that mutate global state (shutdown,
+    draining) — the shared module fixture must stay usable."""
+    return SessionManager(*net, mem=MemoryConfig(top_k=10, mem_freq=2),
+                          max_sessions=max_sessions)
 
 
 def _video(seed=0):
@@ -169,6 +180,172 @@ class TestConcurrency:
         assert st["created"] >= 12
 
 
+class TestEvictionRace:
+    def test_evicted_session_marked_closed(self, net):
+        """Eviction marks the victim closed UNDER its session lock, so
+        a handler that already resolved the _Session can detect it."""
+        mgr = _fresh_manager(net, max_sessions=1)
+        sid_a = mgr.create(_video(20), 1)
+        s_a = mgr._get(sid_a)
+        mgr.create(_video(21), 1)  # evicts A (idle LRU)
+        assert s_a.closed
+        with pytest.raises(KeyError):
+            mgr.interact(sid_a, _labels(), 0)
+
+    def test_interact_resolved_before_eviction_404s(self, net,
+                                                    monkeypatch):
+        """The TOCTOU regression: an interact that resolved the session
+        BEFORE eviction (passed _get, not yet holding the lock) must
+        raise SessionNotFound when it finally acquires — never complete
+        on a zombie session. Simulated by pinning _get to the stale
+        pre-eviction _Session object."""
+        from mivos_tpu.serve.server import SessionNotFound
+
+        mgr = _fresh_manager(net, max_sessions=1)
+        sid_a = mgr.create(_video(22), 1)
+        stale = mgr._get(sid_a)          # handler resolves the session
+        mgr.create(_video(23), 1)        # ...then eviction wins the lock
+        monkeypatch.setattr(mgr, "_get", lambda sid: stale)
+        with pytest.raises(SessionNotFound):
+            mgr.interact(sid_a, _labels(), 0)
+        with pytest.raises(SessionNotFound):
+            mgr.masks(sid_a)
+
+    def test_busy_session_never_evicted(self, net):
+        """A session whose lock is held (mid-interaction) is not an
+        eviction candidate; create() times out instead."""
+        from mivos_tpu.serve.server import CapacityError
+
+        mgr = _fresh_manager(net, max_sessions=1)
+        sid = mgr.create(_video(24), 1)
+        s = mgr._get(sid)
+        s.lock.acquire()
+        try:
+            with pytest.raises(CapacityError):
+                mgr.create(_video(25), 1, timeout=0.2)
+            assert not s.closed and len(mgr) == 1
+        finally:
+            s.lock.release()
+
+
+class TestShutdown:
+    def test_drain_waits_for_inflight_interact(self, net):
+        """shutdown() lets an in-flight interaction finish (the client
+        gets its masks), refuses new work with CapacityError (HTTP
+        503), then frees every session."""
+        from mivos_tpu.serve.server import CapacityError
+
+        mgr = _fresh_manager(net)
+        sid = mgr.create(_video(30), K)
+        s = mgr._get(sid)
+        result = {}
+
+        def run():
+            result["out"] = mgr.interact(sid, _labels(), 0)
+
+        th = threading.Thread(target=run)
+        th.start()
+        # Wait until the interaction actually holds the session lock.
+        for _ in range(2000):
+            if s.lock.locked():
+                break
+            import time
+            time.sleep(0.005)
+        assert mgr.shutdown(timeout=120.0)
+        th.join(10.0)
+        assert not th.is_alive()
+        assert result["out"].shape == (T, H, W)  # in-flight completed
+        assert len(mgr) == 0
+        with pytest.raises(CapacityError):
+            mgr.create(_video(31), 1, timeout=0.1)
+        with pytest.raises(CapacityError):
+            mgr.interact(sid, _labels(), 0)
+
+    def test_shutdown_idle_manager(self, net):
+        from mivos_tpu.serve.server import CapacityError
+
+        mgr = _fresh_manager(net)
+        mgr.create(_video(32), 1)
+        assert mgr.shutdown(timeout=5.0)
+        assert len(mgr) == 0
+        with pytest.raises(CapacityError):
+            mgr.create(_video(33), 1, timeout=0.1)
+
+
+class TestProgress:
+    def test_core_chunk_stream_matches_final(self, net):
+        """InferenceCore.interact(chunk_cb=...) streams each scan
+        chunk's decoded labels; streamed frames must equal the final
+        authoritative masks at those frames."""
+        from mivos_tpu.core.inference import InferenceCore
+        from mivos_tpu.utils.tensor import labels_to_probs
+
+        prop, params = net
+        t = 12  # several tail chunks: multiple chunk_cb emissions
+        video = (np.random.RandomState(3).rand(t, H, W, 3)
+                 * 255).astype(np.uint8)
+        core = InferenceCore(prop, params, None, None, video, K,
+                             mem=MemoryConfig(top_k=10, mem_freq=2))
+        got = []
+        final = core.interact(labels_to_probs(_labels(), K), 0,
+                              chunk_cb=lambda tis, labs:
+                              got.append((list(tis), labs.copy())))
+        assert got, "scan path must stream at least one chunk"
+        seen = []
+        for tis, labs in got:
+            assert labs.shape == (len(tis), H, W)
+            seen += tis
+            for i, ti in enumerate(tis):
+                np.testing.assert_array_equal(labs[i], final[ti])
+        # Propagated (non-interacted) frames all streamed, in-order,
+        # exactly once.
+        assert sorted(seen) == list(range(1, t))
+
+    def test_manager_progress_lifecycle(self, net):
+        mgr = _fresh_manager(net)
+        sid = mgr.create(_video(40), K)
+        p = mgr.progress(sid)
+        assert p["round"] == 0 and p["done"] and len(p["frames"]) == 0
+        out = mgr.interact(sid, _labels(), 0)
+        p = mgr.progress(sid)
+        assert p["round"] == 1 and p["done"]
+        np.testing.assert_array_equal(p["frames"], np.arange(T))
+        np.testing.assert_array_equal(p["masks"], out)
+        mgr.close(sid)
+
+    def test_progress_polls_during_interact(self, net):
+        """Poll /progress semantics while a round is in flight: any
+        mid-flight snapshot's streamed masks must already equal the
+        final masks at those frames (the stream is authoritative
+        per-chunk, not a preview that changes later)."""
+        mgr = _fresh_manager(net)
+        t = 12
+        video = (np.random.RandomState(4).rand(t, H, W, 3)
+                 * 255).astype(np.uint8)
+        sid = mgr.create(video, K)
+        snaps, result = [], {}
+
+        def run():
+            result["out"] = mgr.interact(sid, _labels(), 0)
+
+        th = threading.Thread(target=run)
+        th.start()
+        import time
+        while th.is_alive():
+            snaps.append(mgr.progress(sid))
+            time.sleep(0.01)
+        th.join()
+        final = result["out"]
+        mid = [p for p in snaps if p["round"] == 1 and not p["done"]]
+        for p in mid:
+            for i, ti in enumerate(p["frames"]):
+                np.testing.assert_array_equal(p["masks"][i], final[ti])
+        p = mgr.progress(sid)
+        assert p["done"] and len(p["frames"]) == t
+        np.testing.assert_array_equal(p["masks"], final)
+        mgr.close(sid)
+
+
 class TestHTTPServer:
     @pytest.fixture(scope="class")
     def base(self, manager):
@@ -205,6 +382,19 @@ class TestHTTPServer:
         req = urllib.request.Request(base + f"/v1/sessions/{sid}",
                                      method="DELETE")
         assert json.load(urllib.request.urlopen(req))["closed"]
+
+    def test_progress_endpoint(self, base, manager):
+        sid = manager.create(_video(8), K)
+        out = manager.interact(sid, _labels(), 0)
+        r = urllib.request.urlopen(base + f"/v1/sessions/{sid}/progress")
+        z = np.load(io.BytesIO(r.read()))
+        assert int(z["round"]) == 1 and int(z["done"]) == 1
+        np.testing.assert_array_equal(z["frames"], np.arange(T))
+        np.testing.assert_array_equal(z["masks"], out)
+        manager.close(sid)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(base + f"/v1/sessions/{sid}/progress")
+        assert e.value.code == 404
 
     def test_metrics_endpoint(self, base):
         st = json.load(urllib.request.urlopen(base + "/metrics"))
