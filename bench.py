@@ -75,21 +75,30 @@ def main():
     warm.interact(masks[7], 0)
     del warm
 
-    # Measured: fresh session, one full interaction (forward pass over
-    # T-1 frames with per-frame query encode + memory read + memorize).
-    best = 0.0
+    # Measured: fresh sessions, one full interaction each (forward pass
+    # over T-1 frames with per-frame query encode + memory read +
+    # memorize). The headline value is the MEDIAN of 7 sessions — the
+    # shared chip has ~10% run-to-run spread (PERF.md), and a median
+    # with the spread in the JSON makes BENCH_r* numbers comparable
+    # across rounds without prose.
+    fps = []
     for s in range(7):
         core = InferenceCore(prop, pp, fuse, fp, images, K, mem=mem)
         t0 = time.time()
         core.interact(masks[s], 0)
         dt = time.time() - t0
-        best = max(best, (T - 1) / dt)
+        fps.append((T - 1) / dt)
+    fps.sort()
+    median = fps[len(fps) // 2]
 
     print(json.dumps({
         "metric": "propagation_fps_480p_3obj",
-        "value": round(best, 2),
+        "value": round(median, 2),
         "unit": "frames/s",
-        "vs_baseline": round(best / BASELINE_FPS, 2),
+        "vs_baseline": round(median / BASELINE_FPS, 2),
+        "spread": [round(fps[0], 2), round(fps[-1], 2)],
+        "best": round(fps[-1], 2),
+        "sessions": len(fps),
     }))
 
 
