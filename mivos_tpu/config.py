@@ -45,13 +45,19 @@ class MemoryConfig:
     bank_sharded: bool = False
     bank_axis: str = "data"
     # Object sharding — multi-chip LATENCY scaling for one session. The
-    # object axis K is a pure batch axis through ~95% of per-frame FLOPs
-    # (per-object memory read + decoder + memorize; see the MFU table in
-    # PERF.md), so sharding it over `object_axis` of the Mesh passed to
-    # InferenceCore(mesh=...) splits each propagated frame's dominant
-    # compute across chips. GSPMD inserts the small cross-object
-    # collectives (the aggregate softmax/background product and the
-    # label argmax — O(K x H x W), no bank-sized traffic). K must be
+    # object axis K is a pure batch axis through the per-object memory
+    # read + decoder up-path + memorize; the query tower and the
+    # decoder skip towers run once and stay replicated. Measured from
+    # the compiled cost model (tests/test_sharding_costs.py): the
+    # object-parallel FLOP fraction is ~0.72 at the production K=3
+    # 480p shape (1.9x per-device FLOP reduction on 3 chips) and
+    # ~0.86 at K=8 (4.1x on 8 chips) — it grows with K because the
+    # shared towers amortize. Sharding over `object_axis` of the Mesh
+    # passed to InferenceCore(mesh=...) splits each propagated frame's
+    # dominant compute across chips; GSPMD inserts the small
+    # cross-object collectives (the aggregate softmax/background
+    # product and the label argmax — O(K x H x W), no bank-sized
+    # traffic, independent of bank length). K must be
     # divisible by the axis size (size the object axis to a divisor of
     # K). Composes with bank_sharded on a 2D mesh carrying both axes
     # (e.g. 8 chips = 2 object x 4 position): each device then owns its
