@@ -14,6 +14,9 @@ repo publishes no FPS; 10 FPS is the STM-family figure its speed claims
 derive from — see BASELINE.md). vs_baseline = fps / 10.
 """
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -22,7 +25,39 @@ BASELINE_FPS = 10.0
 T, RH, RW, K = 60, 480, 854, 3
 
 
+def kernel_gate() -> dict:
+    """On-chip Pallas kernel gate (VERDICT r3 item 6): before a headline
+    number is committed, the fused memory-read kernel must match the
+    xla_exact oracle on real encoder banks at M~21k and M~42k (mean
+    readout error < 1e-3 of readout scale). A kernel edit that breaks
+    accuracy fails the BENCH here, loudly, instead of shipping a fast
+    wrong number (the round-2 77.5 FPS was exactly that failure mode).
+    Skip with MIVOS_SKIP_KERNEL_GATE=1 (e.g. CPU smoke runs)."""
+    if os.environ.get("MIVOS_SKIP_KERNEL_GATE") == "1":
+        return {"ok": None, "skipped": True}
+    here = os.path.dirname(os.path.abspath(__file__))
+    r = subprocess.run(
+        [sys.executable, os.path.join(here, "scripts",
+                                      "pallas_kernel_check.py"),
+         "--gate-only", "--out", "/tmp/pallas_kernel_gate.json"],
+        capture_output=True, text=True, cwd=here,
+        env={**os.environ,
+             "PYTHONPATH": here + os.pathsep + os.environ.get(
+                 "PYTHONPATH", "")})
+    if r.returncode != 0 or "PALLAS-KERNEL-OK" not in r.stdout:
+        sys.stderr.write("KERNEL GATE FAILED\n--- stdout ---\n"
+                         + r.stdout[-4000:] + "\n--- stderr ---\n"
+                         + r.stderr[-4000:] + "\n")
+        sys.exit(1)
+    with open("/tmp/pallas_kernel_gate.json") as f:
+        rep = json.load(f)
+    worst = max(x["pallas_mean_abs_err"] / max(x["readout_scale"], 1e-9)
+                for x in rep["reports"])
+    return {"ok": True, "worst_mean_err_frac": round(worst, 6)}
+
+
 def main():
+    gate = kernel_gate()
     import jax
     import jax.numpy as jnp
 
@@ -99,6 +134,7 @@ def main():
         "spread": [round(fps[0], 2), round(fps[-1], 2)],
         "best": round(fps[-1], 2),
         "sessions": len(fps),
+        "kernel_gate": gate,
     }))
 
 

@@ -534,15 +534,16 @@ class InferenceCore:
         if forward:
             closest_ti = min([ti for ti in self.interacted if ti > idx]
                              + [self.t])
-            total_m = (closest_ti - idx - 1) // self.mem.mem_freq + 1 + num_certain
             this_range = range(idx + 1, closest_ti)
             end = closest_ti - 1
         else:
             closest_ti = max([ti for ti in self.interacted if ti < idx]
                              + [-1])
-            total_m = (idx - closest_ti - 1) // self.mem.mem_freq + 1 + num_certain
             this_range = range(idx - 1, closest_ti, -1)
             end = closest_ti + 1
+        mem_freq = self._effective_mem_freq(len(this_range), num_certain)
+        total_m = ((len(this_range) - 1) // mem_freq + 1 + num_certain
+                   if len(this_range) else num_certain)
 
         do_fuse = (closest_ti != self.t) and (closest_ti != -1) and \
             (self.fuse_step is not None)
@@ -553,7 +554,8 @@ class InferenceCore:
                 len(this_range) > 0:
             self._do_pass_scan(key_k, idx, forward, closest_ti,
                                list(this_range), total_m, num_certain,
-                               do_fuse, chunk_cb=chunk_cb)
+                               do_fuse, chunk_cb=chunk_cb,
+                               mem_freq=mem_freq)
             return closest_ti
 
         self.bank.reset(total_m, self.certain_k, self.certain_v)
@@ -569,7 +571,7 @@ class InferenceCore:
                 rows, write_row, self.get_image(ti), f16, f8, f4, k16, v16)
 
             if ti != end:
-                if abs(ti - last_ti) >= self.mem.mem_freq:
+                if abs(ti - last_ti) >= mem_freq:
                     m_front += 1
                     self.bank.num_slots = m_front
                     last_ti = ti
@@ -608,10 +610,36 @@ class InferenceCore:
             sizes[-1:] = [small] * (big // small)
         return sizes
 
+    def _effective_mem_freq(self, pass_len: int, num_certain: int) -> int:
+        """Commit interval for one pass, thinned when the mem_freq
+        schedule would not fit the bank's frame capacity.
+
+        The reference sizes its buffer exactly per pass
+        (inference_core.py:136-151) and OOMs past device memory on long
+        videos; here bank_cap_frames is the hard frame budget and a pass
+        whose (pass_len-1)//mem_freq+1 commits would cross it commits at
+        the smallest coarser interval that fits — bounded memory, full
+        pass coverage, graceful quality degradation instead of a crash."""
+        cap = self.mem.bank_cap_frames
+        # Bank slots this pass can commit: the capacity minus the
+        # certain-memory seed, the transient slot, and the scan path's
+        # scratch slot for padded steps.
+        avail = cap - num_certain - 2
+        if avail < 1:
+            raise ValueError(
+                f"certain memory ({num_certain} frames) leaves no bank "
+                f"capacity (bank_cap_frames={cap}); raise bank_cap_frames "
+                f"or reduce the number of interacted frames")
+        freq = self.mem.mem_freq
+        if pass_len and (pass_len - 1) // freq + 1 > avail:
+            freq = max(freq, (pass_len - 1) // avail + 1)
+        return freq
+
     def _do_pass_scan(self, key_k, idx: int, forward: bool,
                       closest_ti: int, frames: List[int], total_m: int,
                       num_certain: int, do_fuse: bool,
-                      chunk_cb: Optional[Callable] = None) -> None:
+                      chunk_cb: Optional[Callable] = None,
+                      mem_freq: Optional[int] = None) -> None:
         """Chunked scan propagation (see build_scan_pass). The mem_freq
         commit schedule is mirrored into per-step row arrays; padded
         steps write to a scratch slot beyond every committed row. The
@@ -627,6 +655,8 @@ class InferenceCore:
         labels, pipelined one chunk behind the dispatches so the
         blocking host fetch rides under the next chunk's compute."""
         n = len(frames)
+        if mem_freq is None:
+            mem_freq = self._effective_mem_freq(n, num_certain)
         sizes = self._chunk_sizes(n)
         n_pad_total = sum(sizes)
         # +1 scratch slot for padded steps, beyond the +1 transient.
@@ -640,7 +670,7 @@ class InferenceCore:
             rows.append((m_front + (0 if prev_in_mem else 1)) * self.n16)
             wrows.append(m_front * self.n16)
             if ti != end:
-                if abs(ti - last_ti) >= self.mem.mem_freq:
+                if abs(ti - last_ti) >= mem_freq:
                     m_front += 1
                     last_ti = ti
                     prev_in_mem = True

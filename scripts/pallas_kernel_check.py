@@ -61,21 +61,22 @@ def time_backend(mk, mv, q, valid, backend, iters=50):
     return best
 
 
-def compare(mk, mv, q, valid, tag, dtype):
+def compare(mk, mv, q, valid, tag, dtype, with_approx=True):
     out_p = np.asarray(memory_read(mk, mv, q, top_k=TOP_K, valid=valid,
                                    backend="pallas"), np.float32)
     out_e = np.asarray(memory_read(mk, mv, q, top_k=TOP_K, valid=valid,
                                    backend="xla_exact"), np.float32)
-    # The previous production path, for context.
-    out_a = np.asarray(memory_read(mk, mv, q, top_k=TOP_K, valid=valid,
-                                   backend="xla_approx"), np.float32)
     scale = float(np.abs(out_e).mean())
     rep = {"regime": tag, "M": int(mk.shape[1]), "dtype": dtype,
            "readout_scale": scale,
            "pallas_max_abs_err": float(np.abs(out_p - out_e).max()),
-           "pallas_mean_abs_err": float(np.abs(out_p - out_e).mean()),
-           "approx_max_abs_err": float(np.abs(out_a - out_e).max()),
-           "approx_mean_abs_err": float(np.abs(out_a - out_e).mean())}
+           "pallas_mean_abs_err": float(np.abs(out_p - out_e).mean())}
+    if with_approx:
+        # The previous production path, for context.
+        out_a = np.asarray(memory_read(mk, mv, q, top_k=TOP_K, valid=valid,
+                                       backend="xla_approx"), np.float32)
+        rep["approx_max_abs_err"] = float(np.abs(out_a - out_e).max())
+        rep["approx_mean_abs_err"] = float(np.abs(out_a - out_e).mean())
     print(json.dumps(rep), flush=True)
     return rep
 
@@ -91,7 +92,12 @@ def encoder_banks(weights: str, n_frames: int):
     from mivos_tpu.utils.tensor import pad_divide_by
 
     net = PropagationNetwork(top_k=TOP_K)
-    params = load_params_npz(weights)
+    if weights:
+        params = load_params_npz(weights)
+    else:  # gate fallback: random towers still give encoder-statistics
+        f0 = jnp.zeros((128, 160, 3))
+        params = net.init(jax.random.PRNGKey(0), f0,
+                          jnp.zeros((K, 128, 160, 1)), f0)
     mem_fn = jax.jit(lambda p, f, m: net.apply(p, f, m, method="memorize"))
     q_fn = jax.jit(lambda p, f: net.apply(p, f, method="get_query_values"))
 
@@ -114,34 +120,67 @@ def encoder_banks(weights: str, n_frames: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--weights", default="weights/prop_synthetic.npz")
+    ap.add_argument("--gate-only", action="store_true",
+                    help="bench.py / verify-skill gate mode (VERDICT r3 "
+                    "item 6): encoder regime ONLY at M~21k AND M~42k, "
+                    "pallas-vs-exact, mean-error gate tightened to 1e-3 "
+                    "of readout scale; skips the iid regime, the "
+                    "xla_approx context numbers and the timing loops. "
+                    "Falls back to random-init weights (still real "
+                    "encoder-statistics banks) when --weights is absent "
+                    "so a wiped weights/ dir cannot mask a kernel bug.")
+    ap.add_argument("--out", default="/tmp/pallas_kernel_check.json")
     args = ap.parse_args()
     print("devices:", jax.devices(), flush=True)
     reports = []
 
-    # Regime 1 (gated): real encoder banks, 13 frames -> M = 21060.
-    mk, mv, q = encoder_banks(args.weights, n_frames=13)
-    m = mk.shape[1]
-    valid = jnp.arange(m) < (m - 800)   # partial tail, as in sessions
-    for dt in (jnp.float32, jnp.bfloat16):
-        reports.append(compare(mk.astype(dt), mv.astype(dt), q, valid,
-                               "encoder", dt.__name__))
+    import os
+    weights = args.weights
+    if args.gate_only and not os.path.exists(weights):
+        print(f"[gate] {weights} missing -> random-init encoder banks",
+              flush=True)
+        weights = None
 
-    # Regime 2 (reported): adversarial iid-gaussian ties.
-    rng = np.random.RandomState(0)
-    for m2 in (20480, 40960):
-        gmk = jnp.asarray(rng.randn(K, m2, CK).astype(np.float32))
-        gmv = jnp.asarray(rng.randn(K, m2, CV).astype(np.float32))
-        gq = jnp.asarray(rng.randn(N, CK).astype(np.float32))
-        reports.append(compare(gmk, gmv, gq, None, "iid-gaussian",
-                               "float32"))
+    if args.gate_only:
+        # Bank scales from VERDICT r3 item 6: the production M (~21k,
+        # 13 frames) and the doubled long-session M (~42k, 26 frames).
+        mk, mv, q = encoder_banks(weights, n_frames=26)
+        m = mk.shape[1]
+        half = jnp.arange(m) < (m // 2 - 800)
+        valid = jnp.arange(m) < (m - 800)
+        for dt in (jnp.float32, jnp.bfloat16):
+            reports.append(compare(mk[:, :m // 2].astype(dt),
+                                   mv[:, :m // 2].astype(dt), q, half[:m // 2],
+                                   "encoder", dt.__name__, with_approx=False))
+        reports.append(compare(mk.astype(jnp.bfloat16),
+                               mv.astype(jnp.bfloat16), q, valid,
+                               "encoder", "bfloat16", with_approx=False))
+        timing = {}
+    else:
+        # Regime 1 (gated): real encoder banks, 13 frames -> M = 21060.
+        mk, mv, q = encoder_banks(weights, n_frames=13)
+        m = mk.shape[1]
+        valid = jnp.arange(m) < (m - 800)   # partial tail, as in sessions
+        for dt in (jnp.float32, jnp.bfloat16):
+            reports.append(compare(mk.astype(dt), mv.astype(dt), q, valid,
+                                   "encoder", dt.__name__))
 
-    # Timing at the production shape (bf16 banks, real-bank statistics).
-    timing = {}
-    mkb, mvb = mk.astype(jnp.bfloat16), mv.astype(jnp.bfloat16)
-    for backend in ("pallas", "xla_approx", "xla_exact"):
-        timing[backend] = round(
-            time_backend(mkb, mvb, q, valid, backend), 3)
-        print(f"timing {backend}: {timing[backend]} ms", flush=True)
+        # Regime 2 (reported): adversarial iid-gaussian ties.
+        rng = np.random.RandomState(0)
+        for m2 in (20480, 40960):
+            gmk = jnp.asarray(rng.randn(K, m2, CK).astype(np.float32))
+            gmv = jnp.asarray(rng.randn(K, m2, CV).astype(np.float32))
+            gq = jnp.asarray(rng.randn(N, CK).astype(np.float32))
+            reports.append(compare(gmk, gmv, gq, None, "iid-gaussian",
+                                   "float32"))
+
+        # Timing at the production shape (bf16 banks, real-bank statistics).
+        timing = {}
+        mkb, mvb = mk.astype(jnp.bfloat16), mv.astype(jnp.bfloat16)
+        for backend in ("pallas", "xla_approx", "xla_exact"):
+            timing[backend] = round(
+                time_backend(mkb, mvb, q, valid, backend), 3)
+            print(f"timing {backend}: {timing[backend]} ms", flush=True)
 
     # Gates apply to the production regime only. The kernel's support is
     # a SUPERSET of the exact top-k (never misses an entry); with the
@@ -154,15 +193,20 @@ def main():
     # the shipping default (n_refine=0) the measured figures are 0.067%
     # mean / 9.5% max (one near-tie row's worst channel out of 2.5M
     # elements) — refine passes measurably change nothing on encoder
-    # banks (scripts/refine_sweep.py) and remain a safety knob.
+    # banks (scripts/refine_sweep.py) and remain a safety knob. Gate
+    # mode tightens the mean gate to 1e-3 of readout scale (VERDICT r3
+    # item 6's "fails loudly on >1e-3 readout error").
+    mean_gate = 1e-3 if args.gate_only else 1e-2
     for r in reports:
         if r["regime"] != "encoder":
             continue
         scale = max(r["readout_scale"], 1e-9)
         assert r["pallas_max_abs_err"] < 0.3 * scale, r
-        assert r["pallas_mean_abs_err"] < 1e-2 * scale, r
-    out = {"reports": reports, "timing_ms": timing}
-    with open("/tmp/pallas_kernel_check.json", "w") as f:
+        assert r["pallas_mean_abs_err"] < mean_gate * scale, r
+    out = {"reports": reports, "timing_ms": timing,
+           "gate_only": args.gate_only, "mean_gate_frac": mean_gate,
+           "weights": weights or "random-init"}
+    with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print("PALLAS-KERNEL-OK")
 

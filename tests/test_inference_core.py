@@ -419,3 +419,51 @@ def test_long_multiround_chunked_cache_slices(setup):
     assert sel.mean() > 0.15          # a meaningful share is confident
     agree = (la[sel] == lb[sel]).mean()
     assert agree > 0.9999, agree
+
+
+def test_bank_cap_crossing_thins_commit_schedule(setup):
+    """Long-video bank-cap policy (reference inference_core.py:136-151
+    sizes its buffer exactly per pass and OOMs on long videos): a pass
+    whose mem_freq schedule would overflow bank_cap_frames commits at
+    the smallest coarser interval that fits — and is IDENTICAL to an
+    uncapped session configured with that interval directly."""
+    prop, pp, _, _, _ = setup
+    rng = np.random.RandomState(7)
+    t2 = 24
+    images = rng.rand(t2, RH, RW, 3).astype(np.float32)
+    mask = make_interaction_mask(rng)
+    # cap 8: avail = 8 - 1 certain - transient - scratch = 5 commit
+    # slots; forward pass of 23 frames at requested mem_freq=1 needs 23
+    # -> thinned to freq 5 (22//5+1 = 5 commits).
+    capped = InferenceCore(
+        prop, pp, None, None, images, K,
+        mem=MemoryConfig(top_k=10, mem_freq=1, bank_cap_frames=8))
+    out_c = capped.interact(mask, idx=0)
+    assert capped.bank.cap <= 8
+
+    ref = InferenceCore(prop, pp, None, None, images, K,
+                        mem=MemoryConfig(top_k=10, mem_freq=5))
+    out_r = ref.interact(mask, idx=0)
+    np.testing.assert_array_equal(out_c, out_r)
+    for ti in (5, 12, t2 - 1):
+        np.testing.assert_allclose(np.asarray(capped.get_prob(ti)),
+                                   np.asarray(ref.get_prob(ti)), atol=1e-5)
+
+    # Second interaction: certain memory grew to 2 frames, the backward
+    # pass re-thins (avail 4 -> freq 6) and still fits the cap.
+    out2 = capped.interact(make_interaction_mask(rng), idx=t2 - 1)
+    assert capped.bank.cap <= 8
+    assert out2.shape == (t2, RH, RW)
+    assert np.isfinite(np.asarray(capped.get_prob(t2 // 2))).all()
+
+
+def test_bank_cap_smaller_than_certain_memory_raises(setup):
+    """No silent wrong answer when certain memory alone exceeds the
+    bank: the session names the knob instead of under-allocating."""
+    prop, pp, _, _, images = setup
+    core = InferenceCore(
+        prop, pp, None, None, images, K,
+        mem=MemoryConfig(top_k=10, mem_freq=2, bank_cap_frames=2))
+    with pytest.raises(ValueError, match="bank_cap_frames"):
+        core.interact(make_interaction_mask(np.random.RandomState(8)),
+                      idx=0)
