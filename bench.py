@@ -36,14 +36,19 @@ def kernel_gate() -> dict:
     if os.environ.get("MIVOS_SKIP_KERNEL_GATE") == "1":
         return {"ok": None, "skipped": True}
     here = os.path.dirname(os.path.abspath(__file__))
-    r = subprocess.run(
-        [sys.executable, os.path.join(here, "scripts",
-                                      "pallas_kernel_check.py"),
-         "--gate-only", "--out", "/tmp/pallas_kernel_gate.json"],
-        capture_output=True, text=True, cwd=here,
-        env={**os.environ,
-             "PYTHONPATH": here + os.pathsep + os.environ.get(
-                 "PYTHONPATH", "")})
+    cmd = [sys.executable, os.path.join(here, "scripts",
+                                        "pallas_kernel_check.py"),
+           "--gate-only", "--out", "/tmp/pallas_kernel_gate.json"]
+    env = {**os.environ,
+           "PYTHONPATH": here + os.pathsep + os.environ.get(
+               "PYTHONPATH", "")}
+    for attempt in (1, 2):   # axon registration is transiently flaky
+        r = subprocess.run(cmd, capture_output=True, text=True, cwd=here,
+                           env=env)
+        if r.returncode == 0 and "PALLAS-KERNEL-OK" in r.stdout:
+            break
+        sys.stderr.write(f"kernel gate attempt {attempt} failed "
+                         f"(rc={r.returncode})\n")
     if r.returncode != 0 or "PALLAS-KERNEL-OK" not in r.stdout:
         sys.stderr.write("KERNEL GATE FAILED\n--- stdout ---\n"
                          + r.stdout[-4000:] + "\n--- stderr ---\n"

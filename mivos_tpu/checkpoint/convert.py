@@ -115,6 +115,22 @@ def convert_attention_read(sd: Mapping[str, np.ndarray]) -> Dict:
     return convert_prop_net(sub)
 
 
+def attention_read_from_prop(prop_params: Dict) -> Dict:
+    """AttentionReadNetwork params straight from a FLAX propagation tree
+    (e.g. the synthetic-pretrain .npz): the reader is structurally the
+    propagation encoders + f16 KV heads under the SAME module names
+    (models/fusion.py::AttentionReadNetwork.setup), so the frozen
+    attention tower shares the trained weights exactly like the
+    reference loads propagation.pth with strict=False
+    (fusion_model.py:185-188)."""
+    keep = ("mask_rgb_encoder", "rgb_encoder", "kv_m_f16", "kv_q_f16")
+    src = prop_params["params"]
+    missing = [k for k in keep if k not in src]
+    if missing:
+        raise KeyError(f"propagation tree lacks {missing}")
+    return {"params": {k: src[k] for k in keep}}
+
+
 def convert_fusion_net(sd: Mapping[str, np.ndarray]) -> Dict:
     """fusion.pth -> FusionNet params (reference model/fusion_net.py:12-30:
     sequentials conv1/conv2/conv3 hold convs at indices 0 and 2)."""

@@ -26,6 +26,10 @@ class FusionGenerator:
     def __init__(self, prop_net: PropagationNetwork, prop_params,
                  images, mem_freq: int = 5):
         """images: (T, h, w, 3) normalized, UNPADDED."""
+        if prop_net.dtype == "bfloat16":
+            from mivos_tpu.utils.tensor import cast_params_bf16
+
+            prop_params = cast_params_bf16(prop_params)
         self.prop_net, self.prop_params = prop_net, prop_params
         self.mem_freq = mem_freq
         (self.query_fn, self.memorize_fn, self.propagate_step,
@@ -43,7 +47,11 @@ class FusionGenerator:
         """New object count (reference fusion_generator.py:33-35)."""
         self.k = k
         self.prob = [None] * self.t
-        self.bank = MemoryBank(k, self.n16)
+        # Bank dtype follows the compute dtype (memorize emits it),
+        # exactly like InferenceCore's bank.
+        bank_dtype = jnp.bfloat16 if self.prop_net.dtype == "bfloat16" \
+            else jnp.float32
+        self.bank = MemoryBank(k, self.n16, dtype=bank_dtype)
 
     def _do_pass(self, idx: int, limit: int, forward: bool) -> None:
         if forward:

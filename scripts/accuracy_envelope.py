@@ -95,6 +95,13 @@ def main():
     ap.add_argument("--weights", default=None,
                     help="prop weights .npz (scripts/pretrain_synthetic.py);"
                     " default: random init + drifting-texture inputs")
+    ap.add_argument("--fusion-weights", default=None,
+                    help="trained FusionNet .npz "
+                    "(scripts/train_fusion_synthetic.py); default: random "
+                    "init (both paths share it either way)")
+    ap.add_argument("--gate-frac", type=float, default=0.0,
+                    help="minimum frac_margin_1e-2 to accept (VERDICT r3 "
+                    "item 2 target: 0.9 with ALL nets trained)")
     args = ap.parse_args()
     print("devices:", jax.devices(), flush=True)
     # One shared fp32 weight set (converted-checkpoint-style): init at a
@@ -103,10 +110,15 @@ def main():
     prop_exact = PropagationNetwork(top_k=50, read_backend="xla_exact")
     fuse_exact = FusionNet()
     f0 = jnp.zeros((128, 160, 3))
-    fuse_params = fuse_exact.init(
-        jax.random.PRNGKey(1), jnp.zeros((K, 128, 160, 3)),
-        jnp.zeros((K, 128, 160, 1)), jnp.zeros((K, 128, 160, 1)),
-        jnp.zeros((K, 128, 160, 2)), jnp.zeros((K, 2)))
+    if args.fusion_weights:
+        from mivos_tpu.checkpoint.npz import load_params_npz as _lf
+
+        fuse_params = _lf(args.fusion_weights)
+    else:
+        fuse_params = fuse_exact.init(
+            jax.random.PRNGKey(1), jnp.zeros((K, 128, 160, 3)),
+            jnp.zeros((K, 128, 160, 1)), jnp.zeros((K, 128, 160, 1)),
+            jnp.zeros((K, 128, 160, 2)), jnp.zeros((K, 2)))
     if args.weights:
         from mivos_tpu.checkpoint.npz import load_params_npz
 
@@ -157,11 +169,16 @@ def main():
         "frames": T, "objects": K, "hw": [H, W],
         "fast_s": t_f, "exact_s": t_e,
         "weights": args.weights or "random-init",
+        "fusion_weights": args.fusion_weights or "random-init",
     }
     print(json.dumps(report))
     ok = report["agreement_margin_1e-2"]
     assert ok > 0.995, f"margin-conditioned agreement {ok} below 99.5%"
     assert report["prob_err_max"] < 0.05, report["prob_err_max"]
+    if args.gate_frac:
+        frac = report["frac_margin_1e-2"]
+        assert frac >= args.gate_frac, (
+            f"margin cohort {frac:.3f} below {args.gate_frac}")
     print("ENVELOPE-OK")
 
 

@@ -35,7 +35,7 @@ def build_sequences(n_seq, t, h, w, k):
 
 
 def run_config(tag, prop, s2m, prop_params, s2m_params, seqs, rounds, mem,
-               warmup_seqs=None):
+               warmup_seqs=None, fuse=None, fuse_params=None):
     from mivos_tpu.eval.davis_interactive import run_local_interactive
 
     # Optional UNSCORED warmup sequence: remote compiles land in
@@ -44,7 +44,7 @@ def run_config(tag, prop, s2m, prop_params, s2m_params, seqs, rounds, mem,
     # executable and leaves the scored sequences compile-free.
     if warmup_seqs:
         t0 = time.time()
-        run_local_interactive(prop, prop_params, None, None, s2m,
+        run_local_interactive(prop, prop_params, fuse, fuse_params, s2m,
                               s2m_params, warmup_seqs,
                               max_nb_interactions=rounds,
                               max_time_per_interaction=240, mem=mem)
@@ -54,7 +54,7 @@ def run_config(tag, prop, s2m, prop_params, s2m_params, seqs, rounds, mem,
     # records (cumulative_algo_seconds, J&F) per round.
     t0 = time.time()
     summary = run_local_interactive(
-        prop, prop_params, None, None, s2m, s2m_params, seqs,
+        prop, prop_params, fuse, fuse_params, s2m, s2m_params, seqs,
         max_nb_interactions=rounds, max_time_per_interaction=240,
         mem=mem)
     wall = time.time() - t0
@@ -71,6 +71,12 @@ def main():
     ap.add_argument("--hw", type=int, nargs=2, default=(480, 854))
     ap.add_argument("--objects", type=int, default=2)
     ap.add_argument("--weights", default="weights")
+    ap.add_argument("--fusion", default="auto",
+                    help="'auto' (use <weights>/fusion_synthetic.npz when "
+                    "present), 'off', or an explicit FusionNet .npz path "
+                    "— difference-aware fusion then runs in every round "
+                    "whose pass lies between two interacted frames "
+                    "(reference inference_core.py:190-194)")
     ap.add_argument("--out", default="/tmp/full_protocol_tpu.json")
     ap.add_argument("--warmup", action="store_true",
                     help="run one unscored 8-round warmup sequence per "
@@ -93,6 +99,14 @@ def main():
     h, w = args.hw
     prop_params = load_params_npz(f"{args.weights}/prop_synthetic.npz")
     s2m_params = load_params_npz(f"{args.weights}/s2m_synthetic.npz")
+    fuse_path = (f"{args.weights}/fusion_synthetic.npz"
+                 if args.fusion == "auto" else args.fusion)
+    fuse_params = None
+    if args.fusion != "off" and os.path.exists(fuse_path):
+        fuse_params = load_params_npz(fuse_path)
+        print(f"fusion: {fuse_path}", flush=True)
+    else:
+        print("fusion: OFF (no weights)", flush=True)
     seqs = build_sequences(args.sequences, args.frames, h, w, args.objects)
     warm = None
     if args.warmup:
@@ -106,19 +120,27 @@ def main():
 
     report = {"frames": args.frames, "rounds": args.rounds,
               "sequences": args.sequences, "hw": [h, w],
-              "budget_s_per_seq": 240.0, "warmup": bool(args.warmup)}
+              "budget_s_per_seq": 240.0, "warmup": bool(args.warmup),
+              "fusion": fuse_path if fuse_params is not None else "off"}
+
+    from mivos_tpu.models.fusion import FusionNet
 
     s2m = S2MNetwork(dtype="bfloat16")
     prop_fast = PropagationNetwork(top_k=50, dtype="bfloat16")  # auto->pallas
+    fuse_fast = FusionNet(dtype="bfloat16") if fuse_params is not None \
+        else None
     report["fast"] = run_config("fast", prop_fast, s2m, prop_params,
                                 s2m_params, seqs, args.rounds, mem,
-                                warmup_seqs=warm)
+                                warmup_seqs=warm, fuse=fuse_fast,
+                                fuse_params=fuse_params)
 
     prop_exact = PropagationNetwork(top_k=50, read_backend="xla_exact")
     s2m_exact = S2MNetwork()
+    fuse_exact = FusionNet() if fuse_params is not None else None
     report["exact"] = run_config("exact", prop_exact, s2m_exact, prop_params,
                                  s2m_params, seqs, args.rounds, mem,
-                                 warmup_seqs=warm)
+                                 warmup_seqs=warm, fuse=fuse_exact,
+                                 fuse_params=fuse_params)
 
     d_auc = report["fast"]["summary"]["auc"] - \
         report["exact"]["summary"]["auc"]

@@ -71,6 +71,28 @@ class TestFusionGenerator:
             s = probs[:, ti].sum(0)
             np.testing.assert_allclose(s, np.ones_like(s), atol=1e-3)
 
+    def test_bf16_net_matches_bank_dtype(self, rng):
+        """generate_fusion --dtype bfloat16 path: the generator's bank
+        must follow the compute dtype (memorize emits bf16; a float32
+        bank made the dynamic_update_slice write fail)."""
+        t, h, w, k = 4, 48, 64, 2
+        net32 = PropagationNetwork(top_k=10)
+        net = PropagationNetwork(top_k=10, dtype="bfloat16")
+        images = rng.rand(t, h, w, 3).astype(np.float32)
+        f0 = jnp.zeros((h, w, 3))
+        params = net32.init(jax.random.PRNGKey(0), f0,
+                            jnp.zeros((k, h, w, 1)), f0)
+        gen = FusionGenerator(net, params, images, mem_freq=2)
+        gen.reset(k)
+        assert gen.bank.dtype == jnp.bfloat16
+        labels = rng.randint(0, k + 1, (h, w))
+        mask = np.stack([(labels == i + 1) for i in range(k)]
+                        ).astype(np.float32)[..., None]
+        probs = gen.interact_mask(mask, 1, 0, 3)
+        s = probs[:, 2].sum(0)
+        np.testing.assert_allclose(s, np.ones_like(s), atol=2e-2)
+        assert np.isfinite(probs).all()
+
 
 class TestCheckpointManager:
     def test_save_restore_roundtrip(self, tmp_path, rng):

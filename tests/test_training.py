@@ -245,3 +245,34 @@ def test_syncbn_module_sharded_matches_full_batch(rng):
     y_eval = bn.apply(v2, jnp.asarray(x), train=False)
     ref_eval = (x - 0.5 * mean) / np.sqrt(0.5 + 0.5 * var + 1e-5)
     np.testing.assert_allclose(np.asarray(y_eval), ref_eval, atol=1e-4)
+
+
+def test_attention_read_from_prop_shares_trained_towers():
+    """The frozen attention reader must load the PROPAGATION weights
+    (reference fusion_model.py:185-188 loads propagation.pth with
+    strict=False); attention_read_from_prop extracts the shared
+    encoder/KV towers from a flax propagation tree and the reader runs
+    with them directly."""
+    from mivos_tpu.checkpoint import attention_read_from_prop
+    from mivos_tpu.models.fusion import AttentionReadNetwork
+    from mivos_tpu.models.propagation import PropagationNetwork
+
+    prop = PropagationNetwork(top_k=5)
+    f0 = jnp.zeros((32, 32, 3))
+    pp = prop.init(jax.random.PRNGKey(0), f0, jnp.zeros((2, 32, 32, 1)), f0)
+    ap = attention_read_from_prop(pp)
+
+    rng = np.random.RandomState(0)
+    im = rng.randn(1, 32, 32, 3).astype(np.float32)
+    m = lambda: rng.rand(1, 32, 32, 1).astype(np.float32)
+    attn1, attn2 = AttentionReadNetwork().apply(
+        ap, im, m(), m(), m(), m(), im)
+    assert attn1.shape == (1, 32, 32, 2) and attn2.shape == (1, 32, 32, 2)
+    assert np.isfinite(np.asarray(attn1)).all()
+    # Extraction really shares the propagation tensors (same arrays).
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(ap["params"]["kv_m_f16"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(
+            pp["params"]["kv_m_f16"])[0]))
+    with pytest.raises(KeyError):
+        attention_read_from_prop({"params": {"rgb_encoder": {}}})

@@ -30,6 +30,9 @@ def parse_args():
     p.add_argument("--gamma", type=float, default=0.1)
     p.add_argument("--load_prop", help="converted propagation checkpoint "
                    "(.pth) for the frozen attention reader")
+    p.add_argument("--load_prop_npz", help="flax propagation weights "
+                   "(.npz, e.g. scripts/pretrain_synthetic.py output) "
+                   "for the frozen attention reader")
     p.add_argument("--load_network", help="weights-only resume (orbax)")
     p.add_argument("--load_model", help="full resume (orbax manager dir)")
     p.add_argument("--save_dir", default="saves")
@@ -88,6 +91,12 @@ def main():
     if args.load_prop:
         sd = load_torch_state_dict(args.load_prop)
         attn_params = convert_attention_read(sd)
+    elif args.load_prop_npz:
+        from mivos_tpu.checkpoint import attention_read_from_prop
+        from mivos_tpu.checkpoint.npz import load_params_npz
+
+        attn_params = attention_read_from_prop(
+            load_params_npz(args.load_prop_npz))
     trainer.init(first, attn_params=attn_params)
 
     mgr = CheckpointManager(os.path.join(args.save_dir, args.id))
