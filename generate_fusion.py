@@ -30,6 +30,10 @@ def main():
     p.add_argument("--start", type=int, default=None)
     p.add_argument("--end", type=int, default=None)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--skip_done", action="store_true",
+                   help="skip videos whose output dir already exists "
+                   "(resume an interrupted run; delete partially-written "
+                   "video dirs first)")
     args = p.parse_args()
 
     from mivos_tpu.checkpoint import convert_prop_net, load_torch_state_dict
@@ -55,6 +59,10 @@ def main():
             load_torch_state_dict(args.model))}
 
     for index in range(len(dataset)):
+        if args.skip_done and path.isdir(
+                path.join(args.output, dataset.videos[index])):
+            print(dataset.videos[index], "(skipped)")
+            continue
         data = dataset[index]
         rgb, msk, info = data["rgb"], data["gt"], data["info"]
         total_t = rgb.shape[0]

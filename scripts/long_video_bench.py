@@ -103,6 +103,11 @@ def run_limit(prop, params):
     stats = jax.local_devices()[0].memory_stats() or {}
     report["peak_hbm_gb"] = round(
         stats.get("peak_bytes_in_use", 0) / (1 << 30), 2)
+    # memory_stats() is empty through the axon tunnel; report the
+    # post-session RESIDENT device bytes (params + video + bank +
+    # schedule arrays) from the live-array set as the portable floor.
+    report["resident_hbm_gb"] = round(sum(
+        x.nbytes for x in jax.live_arrays()) / (1 << 30), 2)
     report["bank_slots_committed"] = int(core.bank.num_slots)
     print(json.dumps(report))
 

@@ -55,8 +55,17 @@ class StubSession:
         return seq, _scribble(frame, obj=1 + (self.i % K)), new_seq
 
     def submit_masks(self, masks, next_masks=None):
+        # Mirror the real package's submit_masks(pred_masks,
+        # next_scribble_frame_candidates=None) contract
+        # (davisinteractive 1.0.x session.session): masks must cover the
+        # full sequence with integer object labels, and the optional
+        # candidate list must hold in-range frame indices.
         assert masks.shape == (T, H, W), masks.shape
         assert masks.dtype == np.uint8
+        assert masks.max() <= K and masks.min() >= 0
+        if next_masks is not None:
+            assert all(isinstance(int(f), int) and 0 <= f < T
+                       for f in next_masks), next_masks
         self.submitted.append(masks.copy())
 
     def get_global_summary(self, save_file=None):
