@@ -171,3 +171,32 @@ def prop_example(seed: int, t_gap: int, h: int, w: int,
     images, labels = synthetic_sequence(seed, t_gap + 1, h, w, num_objects)
     return (images[0], labels_to_onehot(labels[0], num_objects),
             images[t_gap], labels_to_onehot(labels[t_gap], num_objects))
+
+
+def prop_clip(seed: int, n_steps: int, h: int, w: int,
+              num_objects: int = 2, max_gap: int = 5,
+              ) -> Tuple[np.ndarray, np.ndarray]:
+    """A chained-propagation training clip: `n_steps + 1` frames sampled
+    at random temporal gaps (1..max_gap, mirroring a mem_freq-5 session's
+    commit spacing) from one synthetic sequence.
+
+    Returns (imgs (S+1, H, W, 3), masks (S+1, K, H, W, 1)). Frame 0 is
+    the "interacted" frame (GT mask); frames 1..S are successive
+    propagation targets for multi-step training where the net memorizes
+    its OWN predictions (the reference's main-training recipe — its STM
+    trainer segments frame t from memory of its own frame t-1 output —
+    which single-pair training lacks, causing mid-sequence drift)."""
+    rng = np.random.RandomState(seed)
+    gaps = rng.randint(1, max_gap + 1, size=n_steps)
+    idx = np.concatenate([[0], np.cumsum(gaps)])
+    # Sample from a >=30-frame sequence (the envelope/protocol clip
+    # scale) at a random offset: trajectories traverse their range over
+    # the FULL sequence, so a short t_total would make per-frame motion
+    # several times faster than any deployment video.
+    t_total = max(30, int(idx[-1]) + 1)
+    start = rng.randint(0, t_total - int(idx[-1]))
+    images, labels = synthetic_sequence(seed, t_total, h, w, num_objects)
+    sel = start + idx
+    return (images[sel],
+            np.stack([labels_to_onehot(labels[i], num_objects)
+                      for i in sel]))

@@ -25,9 +25,10 @@ import numpy as np
 import optax
 
 from mivos_tpu.data.transforms import im_normalize
-from mivos_tpu.generation.synthetic import prop_example, s2m_example
+from mivos_tpu.generation.synthetic import prop_clip, s2m_example
 from mivos_tpu.models.propagation import PropagationNetwork
 from mivos_tpu.models.s2m import S2MNetwork
+from mivos_tpu.ops.aggregate import aggregate_wbg
 
 
 def _bce_logits(logits: jax.Array, y: jax.Array) -> jax.Array:
@@ -42,19 +43,27 @@ def _soft_iou(p: jax.Array, y: jax.Array) -> jax.Array:
 
 
 class PropPretrainer:
-    """Adam on memorize -> top-k read -> decode, one (ref, query) pair
-    per step (the core STM training signal; the reference's full recipe
-    with BL30K/DAVIS stages lives in its sibling training repo)."""
+    """Adam on memorize -> top-k read -> decode over a `chain_steps`-long
+    propagated clip. Step 1 memorizes the GT mask; every later step
+    segments from the accumulated bank and memorizes the net's OWN
+    aggregated prediction (full BPTT through the chain) — the
+    reference's main-training recipe (its STM trainer reads frame t
+    from memory of its own frame t-1 output). chain_steps=1 is the
+    plain single-pair STM signal; chain_steps>=2 additionally trains
+    against exposure bias, the mid-sequence drift mode the accuracy
+    envelope exposed (PERF.md: low-margin pixels peak ~15 frames from
+    the interactions, where the bank is all self-predictions)."""
 
     def __init__(self, net: Optional[PropagationNetwork] = None,
                  params: Optional[Dict] = None, lr: float = 2e-4,
                  hw: Tuple[int, int] = (192, 192), num_objects: int = 2,
-                 seed: int = 0):
+                 seed: int = 0, chain_steps: int = 1):
         self.net = net or PropagationNetwork(top_k=50,
                                              read_backend="xla_exact")
         assert self.net.read_backend == "xla_exact", (
             "training must differentiate through the exact top-k read")
-        self.hw, self.k = hw, num_objects
+        assert chain_steps >= 1
+        self.hw, self.k, self.chain = hw, num_objects, chain_steps
         h, w = hw
         if params is None:
             f0 = jnp.zeros((h, w, 3))
@@ -66,24 +75,39 @@ class PropPretrainer:
         self.opt_state = self.tx.init(self.params)
 
         net_ref = self.net
+        n_chain = chain_steps
 
-        def loss_fn(p, ref_img, ref_masks, q_img, q_gt):
-            mem_k, mem_v = net_ref.apply(p, ref_img, ref_masks,
+        def loss_fn(p, imgs, gts):
+            # imgs: (S+1, H, W, 3); gts: (S+1, K, H, W, 1)
+            mem_k, mem_v = net_ref.apply(p, imgs[0], gts[0],
                                          method="memorize")
-            valid = jnp.ones((mem_k.shape[1],), bool)
-            f16, f8, f4, k16, v16 = net_ref.apply(
-                p, q_img, method="get_query_values")
-            # Loss on LOGITS (segment_logits): BCE from the sigmoid
-            # output saturates in fp32 and its clip zeroes gradients.
-            logits = net_ref.apply(p, mem_k, mem_v, valid, f16, f8, f4,
-                                   k16, v16, method="segment_logits")
-            return (_bce_logits(logits, q_gt),
-                    _soft_iou(jax.nn.sigmoid(logits), q_gt))
+            total = 0.0
+            for s in range(1, n_chain + 1):
+                valid = jnp.ones((mem_k.shape[1],), bool)
+                f16, f8, f4, k16, v16 = net_ref.apply(
+                    p, imgs[s], method="get_query_values")
+                # Loss on LOGITS (segment_logits): BCE from the sigmoid
+                # output saturates in fp32 and its clip zeroes gradients.
+                logits = net_ref.apply(p, mem_k, mem_v, valid, f16, f8,
+                                       f4, k16, v16,
+                                       method="segment_logits")
+                total = total + _bce_logits(logits, gts[s])
+                prob = jax.nn.sigmoid(logits)
+                if s < n_chain:
+                    # Memorize the aggregated self-prediction, exactly
+                    # what the session commits (core/inference.py:226).
+                    agg = aggregate_wbg(prob, keep_bg=True)[1:]
+                    nk, nv = net_ref.apply(p, imgs[s], agg,
+                                           method="memorize")
+                    mem_k = jnp.concatenate([mem_k, nk], axis=1)
+                    mem_v = jnp.concatenate([mem_v, nv], axis=1)
+            # iou reported for the LAST (hardest) step of the chain
+            return total / n_chain, _soft_iou(prob, gts[n_chain])
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def step(p, opt_state, ref_img, ref_masks, q_img, q_gt):
+        def step(p, opt_state, imgs, gts):
             (loss, iou), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(p, ref_img, ref_masks, q_img, q_gt)
+                loss_fn, has_aux=True)(p, imgs, gts)
             updates, opt_state = self.tx.update(grads, opt_state, p)
             return optax.apply_updates(p, updates), opt_state, loss, iou
 
@@ -93,9 +117,9 @@ class PropPretrainer:
         h, w = self.hw
         # Gaps 1-5: session propagation is frame-to-frame with mem_freq 5
         # commits, so the read rarely spans a larger temporal gap.
-        ref, rm, q, qm = prop_example(seed, t_gap=np.random.RandomState(
-            seed).randint(1, 6), h=h, w=w, num_objects=self.k)
-        return (im_normalize(ref), rm, im_normalize(q), qm)
+        imgs, gts = prop_clip(seed, self.chain, h, w, num_objects=self.k,
+                              max_gap=5)
+        return im_normalize(imgs), gts
 
     def step(self, seed: int) -> Tuple[float, float]:
         batch = self.make_batch(seed)

@@ -16,7 +16,8 @@ import time
 
 
 def run(kind: str, steps: int, hw: int, lr: float, k: int, out: str,
-        log_every: int, seed0: int, resume: bool = False) -> dict:
+        log_every: int, seed0: int, resume: bool = False,
+        chain: int = 1) -> dict:
     from mivos_tpu.checkpoint.npz import load_params_npz, save_params_npz
     from mivos_tpu.train.pretrain import PropPretrainer, S2MPretrainer
 
@@ -26,7 +27,8 @@ def run(kind: str, steps: int, hw: int, lr: float, k: int, out: str,
     if resume and os.path.exists(ckpt):
         init = load_params_npz(ckpt)
         print(f"[{kind}] resuming from {ckpt}", flush=True)
-    trainer = cls(params=init, lr=lr, hw=tuple(hw), num_objects=k)
+    kw = {"chain_steps": chain} if kind == "prop" else {}
+    trainer = cls(params=init, lr=lr, hw=tuple(hw), num_objects=k, **kw)
     hist = {"loss": [], "iou": [], "step": []}
     t0 = time.time()
     for i in range(steps):
@@ -56,6 +58,10 @@ def main():
     ap.add_argument("--seed", type=int, default=1000)
     ap.add_argument("--resume", action="store_true",
                     help="continue from <out>/<net>_synthetic.npz")
+    ap.add_argument("--chain", type=int, default=1,
+                    help="prop only: chained propagation steps per "
+                    "sample (memorize own predictions; >=2 trains "
+                    "against exposure bias)")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -65,7 +71,7 @@ def main():
         hw = args.hw * 2 if len(args.hw) == 1 else args.hw
         logs[kind] = run(kind, args.steps, hw, args.lr, args.objects,
                          args.out, args.log_every, args.seed,
-                         resume=args.resume)
+                         resume=args.resume, chain=args.chain)
     log_path = os.path.join(args.out, "pretrain_log.json")
     if args.resume and os.path.exists(log_path):
         with open(log_path) as f:

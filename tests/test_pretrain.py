@@ -3,8 +3,9 @@ train/pretrain.py): the weights pipeline behind the accuracy envelope."""
 import numpy as np
 
 from mivos_tpu.checkpoint.npz import (load_params_npz, save_params_npz)
-from mivos_tpu.generation.synthetic import (labels_to_onehot, prop_example,
-                                            s2m_example, synthetic_sequence)
+from mivos_tpu.generation.synthetic import (labels_to_onehot, prop_clip,
+                                            prop_example, s2m_example,
+                                            synthetic_sequence)
 
 
 class TestSyntheticData:
@@ -32,6 +33,23 @@ class TestSyntheticData:
         assert ref.shape == (32, 48, 3) and rm.shape == (2, 32, 48, 1)
         assert q.shape == (32, 48, 3) and qm.shape == (2, 32, 48, 1)
 
+    def test_prop_clip_shapes_and_chain(self):
+        imgs, gts = prop_clip(11, n_steps=3, h=32, w=48, num_objects=2)
+        assert imgs.shape == (4, 32, 48, 3)
+        assert gts.shape == (4, 2, 32, 48, 1)
+        # deterministic per seed
+        imgs2, gts2 = prop_clip(11, n_steps=3, h=32, w=48, num_objects=2)
+        np.testing.assert_array_equal(gts, gts2)
+        np.testing.assert_allclose(imgs, imgs2)
+        # consecutive frames come from ONE sequence (objects drift, not
+        # teleport): at gap<=2 successive masks must overlap
+        imgs3, gts3 = prop_clip(11, n_steps=3, h=32, w=48, num_objects=2,
+                                max_gap=2)
+        assert imgs3.shape == (4, 32, 48, 3)
+        for s in range(3):
+            inter = (gts3[s, 0, ..., 0] * gts3[s + 1, 0, ..., 0]).sum()
+            assert inter > 0, f"object teleported between steps {s},{s+1}"
+
     def test_s2m_example_channels(self):
         x, gt, lab = s2m_example(4, h=48, w=64, num_objects=2)
         assert x.shape == (2, 48, 64, 6) and gt.shape == (2, 48, 64, 1)
@@ -49,6 +67,19 @@ class TestPretrainers:
         tr = PropPretrainer(hw=(48, 48), num_objects=2, lr=1e-3)
         # Overfit one fixed example. Adam's fresh-net transient spikes
         # the first few steps, so require recovery below the start.
+        losses = [tr.step(3)[0] for _ in range(12)]
+        assert all(np.isfinite(losses))
+        assert min(losses[-3:]) < losses[0]
+
+    def test_prop_pretrain_chained_descends_and_resumes(self):
+        """chain_steps>=2: the multi-step curriculum (memorize own
+        predictions) must descend AND share the exact param tree with
+        the single-step trainer so --resume can switch curricula."""
+        from mivos_tpu.train.pretrain import PropPretrainer
+
+        tr1 = PropPretrainer(hw=(48, 48), num_objects=2, lr=1e-3)
+        tr = PropPretrainer(hw=(48, 48), num_objects=2, lr=1e-3,
+                            chain_steps=2, params=tr1.params)
         losses = [tr.step(3)[0] for _ in range(12)]
         assert all(np.isfinite(losses))
         assert min(losses[-3:]) < losses[0]
