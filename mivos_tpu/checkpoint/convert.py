@@ -98,7 +98,9 @@ _RESNET_RULES = (
 
 def convert_prop_net(sd: Mapping[str, np.ndarray]) -> Dict:
     """MiVOS propagation_model.pth -> PropagationNetwork params
-    (reference model/propagation/prop_net.py)."""
+    (reference model/propagation/prop_net.py). The target net must use
+    the reference decoder (dec_width=1.0); slimmer variants are
+    from-scratch-training architectures with a different param tree."""
     rules = (
         (r"^rgb_encoder\.res2\.", "rgb_encoder.layer1."),
     ) + _RESNET_RULES

@@ -31,15 +31,26 @@ VAL_DIM = 512
 
 class Decoder(nn.Module):
     """Refinement decoder: 1/16 -> 1/4 with skip connections, then 4x
-    bilinear to full resolution (reference: prop_net.py:14-31)."""
+    bilinear to full resolution (reference: prop_net.py:14-31).
+
+    `width` scales every internal channel count (conv FLOPs scale with
+    width^2). 1.0 is the reference architecture (required to load the
+    published .pth checkpoints); 0.5 is an opt-in fast variant for nets
+    trained from scratch — the decoder is ~60% of per-frame propagation
+    FLOPs (PERF.md MFU table), so halving its channels is the single
+    largest step-speed lever left on TPU."""
 
     dtype: Optional[str] = None
+    width: float = 1.0
 
     @nn.compact
     def __call__(self, f16: jax.Array, f8: jax.Array, f4: jax.Array) -> jax.Array:
-        x = ResBlock(512, name="compress", dtype=self.dtype)(f16)
-        x = UpsampleBlock(512, 256, name="up_16_8", dtype=self.dtype)(f8, x)
-        x = UpsampleBlock(256, 256, name="up_8_4", dtype=self.dtype)(f4, x)
+        c = lambda n: max(16, int(round(n * self.width)))  # noqa: E731
+        x = ResBlock(c(512), name="compress", dtype=self.dtype)(f16)
+        x = UpsampleBlock(c(512), c(256), name="up_16_8",
+                          dtype=self.dtype)(f8, x)
+        x = UpsampleBlock(c(256), c(256), name="up_8_4",
+                          dtype=self.dtype)(f4, x)
         x = conv3x3(1, name="pred", dtype=self.dtype)(nn.relu(x))
         x = x.astype(jnp.float32)
         h, w = x.shape[-3], x.shape[-2]
@@ -76,6 +87,13 @@ class PropagationNetwork(nn.Module):
     # inference; params and the affinity softmax stay fp32). The memory
     # bank inherits this dtype, halving its HBM traffic.
     dtype: Optional[str] = None
+    # Decoder channel-width multiplier. 1.0 = the reference decoder
+    # (prop_net.py:14-31; REQUIRED for loading the published .pth
+    # weights via checkpoint/convert.py). <1.0 is an opt-in fast
+    # variant for from-scratch training: the decoder is the largest
+    # per-frame FLOP consumer (~60%, PERF.md), and conv cost scales
+    # with dec_width^2.
+    dec_width: float = 1.0
     # Distributed bank (SURVEY.md section 5.7): when set, mem_k/mem_v
     # arrive with their position axis sharded over `bank_axis` of this
     # mesh and the read runs as the exact O(query)-communication
@@ -128,7 +146,8 @@ class PropagationNetwork(nn.Module):
                                  name="kv_m_f16")
         self.kv_q_f16 = KeyValue(KEY_DIM, VAL_DIM, dtype=self.dtype,
                                  name="kv_q_f16")
-        self.decoder = Decoder(dtype=self.dtype, name="decoder")
+        self.decoder = Decoder(dtype=self.dtype, width=self.dec_width,
+                               name="decoder")
 
     def memorize(self, frame: jax.Array, masks: jax.Array):
         """frame: (H, W, 3); masks: (K, H, W, 1) soft per-object masks.
