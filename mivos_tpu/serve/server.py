@@ -23,7 +23,10 @@ HTTP API (serve.py at the repo root binds it):
                                       (any cv2-readable format)
   POST   /v1/sessions/<id>/interact   body: npz{labels (h,w) uint8,
                                       frame []}  -> npz{masks (T,h,w)}
-  GET    /v1/sessions/<id>/masks      -> npz{masks}
+  GET    /v1/sessions/<id>/masks      -> npz{masks} — never blocks on
+                                      an in-flight interact: busy
+                                      sessions answer with the last
+                                      COMPLETED round's masks
   GET    /v1/sessions/<id>/progress   -> npz{round, done, frames (n,),
                                       masks (n,h,w)} — partial masks
                                       streamed per scan chunk WHILE an
@@ -83,6 +86,12 @@ class _Session:
         self.prog_done = True        # no round in flight
         self.prog_have = np.zeros(core.t, bool)
         self.prog_masks = np.zeros_like(core.np_masks)
+        # Last COMPLETED round's masks (plock-guarded): what GET /masks
+        # serves while a round holds self.lock, so a poll during a
+        # minutes-long pass never pins a handler thread on the session
+        # lock (prog_masks mid-round is a mix of new partial chunks and
+        # the previous finals — this stays a consistent snapshot).
+        self.last_masks = core.np_masks.copy()
 
 
 class SessionManager:
@@ -236,6 +245,7 @@ class SessionManager:
                     s.prog_masks[:] = s.core.np_masks
                     s.prog_have[:] = True
                     s.prog_done = True
+                    s.last_masks = s.core.np_masks.copy()
         s.last_used = time.monotonic()
         with self._room:
             self._interactions += 1
@@ -248,14 +258,26 @@ class SessionManager:
 
     def masks(self, sid: str) -> np.ndarray:
         s = self._get(sid)
-        with s.lock:
-            if s.closed:
-                raise SessionNotFound(sid)
-            s.last_used = time.monotonic()
-            # Copy under the lock: np_masks is the session's live
-            # buffer, mutated in place by the next interact — returning
-            # it raw would let a concurrent round tear the response.
-            return s.core.np_masks.copy()
+        # NON-blocking on the session lock: an in-flight interact holds
+        # it for the whole (possibly minutes-long) pass, and a client
+        # polling /masks must not pin a ThreadingHTTPServer handler
+        # thread for that duration. Busy -> serve the last-completed
+        # round's snapshot from the plock buffer (GET /progress is the
+        # endpoint for the in-flight round's partial chunks).
+        if s.lock.acquire(blocking=False):
+            try:
+                if s.closed:
+                    raise SessionNotFound(sid)
+                s.last_used = time.monotonic()
+                # Copy under the lock: np_masks is the session's live
+                # buffer, mutated in place by the next interact —
+                # returning it raw would let a concurrent round tear
+                # the response.
+                return s.core.np_masks.copy()
+            finally:
+                s.lock.release()
+        with s.plock:
+            return s.last_masks.copy()
 
     def progress(self, sid: str) -> Dict:
         """Partial results of the round in flight (or the last finished

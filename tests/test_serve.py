@@ -145,18 +145,27 @@ class TestCapacity:
 class TestConcurrency:
     def test_hammer_mixed_ops(self, manager):
         """4 threads x mixed create/interact/masks/close against the
-        shared manager: no exceptions besides expected KeyErrors (LRU
-        eviction under pressure), session count bounded, counters
-        consistent."""
+        shared manager: no exceptions besides the expected pressure
+        outcomes — KeyError (LRU eviction) and CapacityError (every
+        slot busy past the create timeout; on a loaded 1-core host slow
+        interacts CAN hold all 3 slots long enough) — session count
+        bounded, counters consistent."""
         import threading
 
+        from mivos_tpu.serve.server import CapacityError
+
         errs = []
+        created = []  # successful creates (thread-safe: list.append)
 
         def worker(seed):
             rng = np.random.RandomState(seed)
             try:
                 for i in range(3):
-                    sid = manager.create(_video(seed * 10 + i), K)
+                    try:
+                        sid = manager.create(_video(seed * 10 + i), K)
+                    except CapacityError:
+                        continue  # all slots busy — expected pressure
+                    created.append(sid)
                     try:
                         out = manager.interact(sid, _labels(), 0)
                         assert out.shape == (T, H, W)
@@ -177,7 +186,8 @@ class TestConcurrency:
         assert not errs, errs
         assert len(manager) <= manager.max_sessions
         st = manager.stats()
-        assert st["created"] >= 12
+        assert created, "no create ever succeeded"
+        assert st["created"] >= len(created)
 
 
 class TestEvictionRace:
@@ -311,6 +321,32 @@ class TestProgress:
         assert p["round"] == 1 and p["done"]
         np.testing.assert_array_equal(p["frames"], np.arange(T))
         np.testing.assert_array_equal(p["masks"], out)
+        mgr.close(sid)
+
+    def test_masks_nonblocking_while_busy(self, net):
+        """GET /masks during an in-flight interact must answer
+        immediately with the last COMPLETED round's snapshot instead of
+        pinning the handler thread on the session lock for the pass
+        duration. Simulated deterministically: hold the session lock
+        (what a running interact does) and call masks() from a worker
+        thread — it must return, with round-1's masks."""
+        mgr = _fresh_manager(net)
+        sid = mgr.create(_video(41), K)
+        done = mgr.interact(sid, _labels(), 0)
+        s = mgr._get(sid)
+        s.lock.acquire()  # simulate a round in flight
+        try:
+            got = {}
+            th = threading.Thread(
+                target=lambda: got.update(masks=mgr.masks(sid)))
+            th.start()
+            th.join(10.0)
+            assert not th.is_alive(), "masks() blocked on a busy session"
+            np.testing.assert_array_equal(got["masks"], done)
+        finally:
+            s.lock.release()
+        # Idle again: the authoritative (lock-held) path still serves.
+        np.testing.assert_array_equal(mgr.masks(sid), done)
         mgr.close(sid)
 
     def test_progress_polls_during_interact(self, net):
