@@ -215,6 +215,9 @@ def build_scan_pass(prop_net: PropagationNetwork,
             image = _normalize_frames_impl(image) * pad_mask
         valid = jnp.arange(bank_k.shape[1]) < rows
         if qmode == "cached":
+            # The cache holds the decoder's PRECOMPUTED skip towers
+            # (batch-B in the pre-encode) in the f8/f4 slots; the decode
+            # runs with preskip=True.
             f8, f4, k16, v16 = (jax.lax.dynamic_index_in_dim(
                 q, xs["fidx"], 0, keepdims=False) for q in q_full)
             f16 = k16  # unused by segment_with_query
@@ -222,7 +225,8 @@ def build_scan_pass(prop_net: PropagationNetwork,
             f16, f8, f4, k16, v16 = prop_net.apply(
                 params, image, method="get_query_values")
         out = prop_net.apply(params, bank_k, bank_v, valid, f16, f8, f4,
-                             k16, v16, method="segment_with_query")
+                             k16, v16, preskip=(qmode == "cached"),
+                             method="segment_with_query")
         agg = aggregate_wbg(out, keep_bg=True)
         # Memorize the PRE-fusion aggregate: the reference commits memory
         # before fuse_one_frame runs (inference_core.py:178 vs :190-194),
@@ -436,14 +440,12 @@ class InferenceCore:
         self._label_cache: Dict[int, tuple] = {}
 
         # Device query-feature cache for multi-round sessions (config
-        # cache_queries): (q8, q4, qk16, qv16) arrays of shape
+        # cache_queries): (skip8, skip4, qk16, qv16) arrays of shape
         # (T, 1, h/s, w/s, C) in the compute dtype, populated from the
         # first pass (qcache_eager) or lazily from the second.
-        h8, w8 = self.nh // 8, self.nw // 8
-        h16, w16 = self.nh // 16, self.nw // 16
         qd = 2 if prop_net.dtype == "bfloat16" else 4
-        per_frame = qd * (h8 * w8 * 512 + (h8 * 2) * (w8 * 2) * 256
-                          + h16 * w16 * (128 + 512))
+        per_frame = qd * sum((self.nh // s) * (self.nw // s) * c
+                             for s, c in self._QDIMS)
         self._qcache = None
         self._qcache_enabled = (
             mem.cache_queries and mem.mem_profile == 0
@@ -541,7 +543,9 @@ class InferenceCore:
                              + [-1])
             this_range = range(idx - 1, closest_ti, -1)
             end = closest_ti + 1
-        mem_freq = self._effective_mem_freq(len(this_range), num_certain)
+        use_scan = step_cb is None and self.mem.mem_profile == 0
+        mem_freq = self._effective_mem_freq(len(this_range), num_certain,
+                                            scan=use_scan)
         total_m = ((len(this_range) - 1) // mem_freq + 1 + num_certain
                    if len(this_range) else num_certain)
 
@@ -550,8 +554,7 @@ class InferenceCore:
 
         # Whole-pass scan path: one dispatch for the entire direction.
         # Requires on-device images and no per-frame progress callback.
-        if step_cb is None and self.mem.mem_profile == 0 and \
-                len(this_range) > 0:
+        if use_scan and len(this_range) > 0:
             self._do_pass_scan(key_k, idx, forward, closest_ti,
                                list(this_range), total_m, num_certain,
                                do_fuse, chunk_cb=chunk_cb,
@@ -610,7 +613,8 @@ class InferenceCore:
             sizes[-1:] = [small] * (big // small)
         return sizes
 
-    def _effective_mem_freq(self, pass_len: int, num_certain: int) -> int:
+    def _effective_mem_freq(self, pass_len: int, num_certain: int,
+                            scan: bool = True) -> int:
         """Commit interval for one pass, thinned when the mem_freq
         schedule would not fit the bank's frame capacity.
 
@@ -620,18 +624,20 @@ class InferenceCore:
         whose (pass_len-1)//mem_freq+1 commits would cross it commits at
         the smallest coarser interval that fits — bounded memory, full
         pass coverage, graceful quality degradation instead of a crash."""
+        if pass_len <= 0:
+            return self.mem.mem_freq  # nothing to propagate or commit
         cap = self.mem.bank_cap_frames
         # Bank slots this pass can commit: the capacity minus the
-        # certain-memory seed, the transient slot, and the scan path's
-        # scratch slot for padded steps.
-        avail = cap - num_certain - 2
+        # certain-memory seed, the transient slot, and (scan path only)
+        # the scratch slot padded steps write to.
+        avail = cap - num_certain - (2 if scan else 1)
         if avail < 1:
             raise ValueError(
                 f"certain memory ({num_certain} frames) leaves no bank "
                 f"capacity (bank_cap_frames={cap}); raise bank_cap_frames "
                 f"or reduce the number of interacted frames")
         freq = self.mem.mem_freq
-        if pass_len and (pass_len - 1) // freq + 1 > avail:
+        if (pass_len - 1) // freq + 1 > avail:
             freq = max(freq, (pass_len - 1) // avail + 1)
         return freq
 
@@ -813,7 +819,16 @@ class InferenceCore:
 
     # ----- device query cache (multi-round reuse) -----
 
-    _QDIMS = ((8, 512), (4, 256), (16, 128), (16, 512))
+    @property
+    def _QDIMS(self):
+        """(stride, channels) of the cached per-frame query tensors:
+        decoder skip towers skip8/skip4 (channel counts follow
+        dec_width; at width 1.0 they equal raw f8/f4's 512/256) plus
+        the query key/value projections."""
+        from mivos_tpu.models.propagation import Decoder
+
+        cw = lambda n: Decoder.chan(n, self.prop_net.dec_width)  # noqa: E731
+        return ((8, cw(512)), (4, cw(256)), (16, 128), (16, 512))
 
     def _qcache_alloc(self) -> None:
         if self._qcache is not None:

@@ -126,18 +126,33 @@ class ResBlock(nn.Module):
 
 class UpsampleBlock(nn.Module):
     """Skip-connected 2x upsampling block
-    (reference: model/propagation/modules.py:92-104)."""
+    (reference: model/propagation/modules.py:92-104).
+
+    The skip tower (`skip`: conv3x3 + ResBlock over the encoder skip
+    features) is object-independent, so sessions may precompute it once
+    per frame in the batched query pre-encode and call with
+    preskip=True — identical math, better MXU utilization than running
+    it batch-1 inside the propagation scan (see Decoder.skips)."""
 
     up_dim: int
     out_dim: int
     dtype: Optional[str] = None
 
-    @nn.compact
-    def __call__(self, skip_f: jax.Array, up_f: jax.Array) -> jax.Array:
-        x = conv3x3(self.up_dim, name="skip_conv1", dtype=self.dtype)(skip_f)
-        x = ResBlock(self.up_dim, name="skip_conv2", dtype=self.dtype)(x)
+    def setup(self):
+        self.skip_conv1 = conv3x3(self.up_dim, dtype=self.dtype)
+        self.skip_conv2 = ResBlock(self.up_dim, dtype=self.dtype)
+        self.out_conv = ResBlock(self.out_dim, dtype=self.dtype)
+
+    def skip(self, skip_f: jax.Array) -> jax.Array:
+        return self.skip_conv2(self.skip_conv1(skip_f))
+
+    def __call__(self, skip_f: jax.Array, up_f: jax.Array,
+                 preskip: bool = False) -> jax.Array:
+        """skip_f: encoder skip features — or, with preskip=True, the
+        already-computed `skip(skip_f)` tower output."""
+        x = skip_f if preskip else self.skip(skip_f)
         x = x + upsample2x(up_f).astype(x.dtype)
-        return ResBlock(self.out_dim, name="out_conv", dtype=self.dtype)(x)
+        return self.out_conv(x)
 
 
 class KeyValue(nn.Module):

@@ -43,15 +43,35 @@ class Decoder(nn.Module):
     dtype: Optional[str] = None
     width: float = 1.0
 
-    @nn.compact
-    def __call__(self, f16: jax.Array, f8: jax.Array, f4: jax.Array) -> jax.Array:
-        c = lambda n: max(16, int(round(n * self.width)))  # noqa: E731
-        x = ResBlock(c(512), name="compress", dtype=self.dtype)(f16)
-        x = UpsampleBlock(c(512), c(256), name="up_16_8",
-                          dtype=self.dtype)(f8, x)
-        x = UpsampleBlock(c(256), c(256), name="up_8_4",
-                          dtype=self.dtype)(f4, x)
-        x = conv3x3(1, name="pred", dtype=self.dtype)(nn.relu(x))
+    @staticmethod
+    def chan(n: int, width: float) -> int:
+        """Width-scaled channel count (shared with the session's
+        query-cache sizing, core/inference.py)."""
+        return max(16, int(round(n * width)))
+
+    def setup(self):
+        c = lambda n: self.chan(n, self.width)  # noqa: E731
+        self.compress = ResBlock(c(512), dtype=self.dtype)
+        self.up_16_8 = UpsampleBlock(c(512), c(256), dtype=self.dtype)
+        self.up_8_4 = UpsampleBlock(c(256), c(256), dtype=self.dtype)
+        self.pred = conv3x3(1, dtype=self.dtype)
+
+    def skips(self, f8: jax.Array, f4: jax.Array):
+        """Object-independent skip towers, runnable once per frame (and
+        batched over frames in the query pre-encode): the K-batched
+        decode then calls __call__(..., preskip=True) with these.
+        Exactly the same parameters/math as the inline path — a
+        scheduling choice, not an architecture change."""
+        return self.up_16_8.skip(f8), self.up_8_4.skip(f4)
+
+    def __call__(self, f16: jax.Array, f8: jax.Array, f4: jax.Array,
+                 preskip: bool = False) -> jax.Array:
+        """f8/f4: encoder skip features — or, with preskip=True, the
+        precomputed `skips(f8, f4)` outputs."""
+        x = self.compress(f16)
+        x = self.up_16_8(f8, x, preskip=preskip)
+        x = self.up_8_4(f4, x, preskip=preskip)
+        x = self.pred(nn.relu(x))
         x = x.astype(jnp.float32)
         h, w = x.shape[-3], x.shape[-2]
         return bilinear_resize(x, (h * 4, w * 4))
@@ -174,27 +194,46 @@ class PropagationNetwork(nn.Module):
         return f16, f8, f4, k16, v16
 
     def get_query_values_batched(self, frames: jax.Array):
-        """frames: (B, H, W, 3) -> (f8, f4, k16, v16) query-cache
+        """frames: (B, H, W, 3) -> (skip8, skip4, k16, v16) query-cache
         features for B frames at once. Query frames are independent, so
         their conv towers run at batch B — far better MXU utilization
-        than B batch-1 calls inside the propagation scan (same math as
-        get_query_values; reference buffers these per frame,
-        prop_net.py:164-168)."""
+        than B batch-1 calls inside the propagation scan (reference
+        buffers the raw features per frame, prop_net.py:164-168).
+
+        The cache holds the decoder's PRE-COMPUTED skip towers
+        (decoder.skips) rather than raw f8/f4: those towers are
+        object-independent (~122 GFLOP/frame at 480p), so running them
+        here moves them from batch-1 inside the scan body to this
+        batch-B dispatch — same parameters, same math, same cache bytes
+        at width 1.0 (skip8/f8 are both 512-ch, skip4/f4 both 256-ch);
+        the scan then decodes with preskip=True."""
         f16, f8, f4 = self.rgb_encoder(frames)
         k16, v16 = self.kv_q_f16(f16)
-        return f8, f4, k16, v16
+        skip8, skip4 = self.decoder.skips(f8, f4)
+        return skip8, skip4, k16, v16
 
-    def segment_with_query(self, mem_k, mem_v, valid, f16, f8, f4, k16, v16):
+    def query_skips(self, f8: jax.Array, f4: jax.Array):
+        """Decoder skip towers over raw encoder features — the batch-1
+        counterpart of what get_query_values_batched caches (used by
+        parity tests and any path that staged raw f8/f4)."""
+        return self.decoder.skips(f8, f4)
+
+    def segment_with_query(self, mem_k, mem_v, valid, f16, f8, f4, k16,
+                           v16, preskip: bool = False):
         """Memory read + decode (reference: prop_net.py:164-181).
 
         mem_k/mem_v: (K, M, C) bucketed bank; valid: (M,) bool.
-        k16/v16/f8/f4: batch-1 query tensors from get_query_values.
+        k16/v16/f8/f4: batch-1 query tensors from get_query_values —
+        with preskip=True, f8/f4 are instead the precomputed decoder
+        skip towers (skip8/skip4 from get_query_values_batched).
         Returns (K, H, W, 1) per-object sigmoid probabilities.
         """
         return jax.nn.sigmoid(self.segment_logits(mem_k, mem_v, valid, f16,
-                                                  f8, f4, k16, v16))
+                                                  f8, f4, k16, v16,
+                                                  preskip=preskip))
 
-    def segment_logits(self, mem_k, mem_v, valid, f16, f8, f4, k16, v16):
+    def segment_logits(self, mem_k, mem_v, valid, f16, f8, f4, k16, v16,
+                       preskip: bool = False):
         """segment_with_query before the sigmoid — the numerically-stable
         target for training losses (synthetic pretraining, train/pretrain.py;
         the reference trains its propagation net in a sibling repo)."""
@@ -238,8 +277,9 @@ class PropagationNetwork(nn.Module):
         # object-independent, so they run ONCE and broadcast at the
         # residual add (the reference recomputes them per object via its
         # batched=1 loop, prop_net.py:172-176 — ~2x decoder FLOPs saved
-        # at K=3).
-        return self.decoder(m4, f8, f4)
+        # at K=3). With preskip=True they were already computed in the
+        # batched query pre-encode and f8/f4 are the tower outputs.
+        return self.decoder(m4, f8, f4, preskip=preskip)
 
     def get_attention(self, mk16, pos_mask, neg_mask, qk16):
         """Difference-aware attention read (reference: prop_net.py:183-200).

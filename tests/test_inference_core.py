@@ -371,7 +371,8 @@ def test_time_bucketed_video_padding(setup):
 
 def test_query_batch_encode_matches_single(setup):
     """The batched pre-encode (get_query_values_batched, the path
-    query_encode_write_fn runs) must reproduce the batch-1 encoder up
+    query_encode_write_fn runs) must reproduce the batch-1 encoder —
+    and the decoder skip towers it now precomputes (query_skips) — up
     to conv batch-size rounding."""
     prop, pp, _fuse, _fp, images = setup
     core = InferenceCore(prop, pp, None, None, images, K,
@@ -381,10 +382,32 @@ def test_query_batch_encode_matches_single(setup):
     batched = prop.apply(pp, imgs, method="get_query_values_batched")
     for ti in (0, 3, 7):
         _f16, f8, f4, k16, v16 = core.query_fn(pp, core.get_image(ti))
+        skip8, skip4 = prop.apply(pp, f8, f4, method="query_skips")
         for got, want in zip([q[ti][None] for q in batched],
-                             (f8, f4, k16, v16)):
+                             (skip8, skip4, k16, v16)):
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        atol=1e-4, rtol=1e-4)
+
+
+def test_preskip_decode_matches_inline(setup):
+    """segment_with_query(preskip=True) over precomputed skip towers is
+    the SAME function as the inline path — bitwise on CPU (a scheduling
+    choice, not an architecture change)."""
+    prop, pp, _fuse, _fp, images = setup
+    core = InferenceCore(prop, pp, None, None, images, K,
+                         mem=MemoryConfig(top_k=10))
+    img = core.get_image(0)
+    mask = jnp.zeros((K, core.nh, core.nw, 1)).at[0, 4:12, 4:12].set(1.0)
+    mem_k, mem_v = core.memorize_fn(pp, img, mask)
+    valid = jnp.ones((mem_k.shape[1],), bool)
+    f16, f8, f4, k16, v16 = core.query_fn(pp, core.get_image(1))
+    inline = prop.apply(pp, mem_k, mem_v, valid, f16, f8, f4, k16, v16,
+                        method="segment_with_query")
+    skip8, skip4 = prop.apply(pp, f8, f4, method="query_skips")
+    pre = prop.apply(pp, mem_k, mem_v, valid, f16, skip8, skip4, k16,
+                     v16, preskip=True, method="segment_with_query")
+    np.testing.assert_allclose(np.asarray(pre), np.asarray(inline),
+                               atol=1e-6, rtol=1e-6)
 
 
 def test_long_multiround_chunked_cache_slices(setup):
