@@ -5,6 +5,15 @@ upsampling kernel (initializer.py:47-76) and `xavier_gluon` the
 magnitude-scaled gluon Xavier (initializer.py:79-105). Used when
 training interactive-seg models from scratch; converted checkpoints
 bypass them.
+
+`apply_initializer` is the tree-level equivalent of the reference's
+`model.apply(Initializer)` (initializer.py:11-44): rather than thread
+kernel_init through every submodule, it rewrites a constructed params
+pytree — conv/dense kernels re-drawn from the weight init, biases and
+BN betas zeroed, BN gammas set to one, BN running stats untouched.
+models/fbrs.py and models/hrnet.py expose it as the `init_flavor`
+argument of their `init_params` helpers, so a from-scratch fbrs/hrnet
+training run starts from the reference's init distribution.
 """
 from __future__ import annotations
 
@@ -53,3 +62,36 @@ def xavier_gluon(rnd_type: str = "uniform", factor_type: str = "avg",
         return jax.random.normal(key, shape, dtype) * scale
 
     return init
+
+
+def apply_initializer(params, key, weight_init=None):
+    """Re-initialize a constructed model's params the way the
+    reference's `module.apply(Initializer)` traversal does
+    (fbrs/model/initializer.py:11-44, XavierGluon :79-105):
+
+      * every `kernel` leaf (conv HWIO / dense) re-drawn from
+        `weight_init` (default: gluon Xavier, uniform/avg/3.0 — the
+        reference class defaults)
+      * every `bias` leaf zeroed (conv bias and BN beta alike, :33-44)
+      * every `scale` leaf (FrozenBatchNorm gamma) set to one (:39)
+      * `mean`/`var` (BN running stats) left untouched, as torch's
+        Initializer only visits weight/bias
+
+    Keys are folded per-kernel in traversal order, so the same (params,
+    key) always yields the same draw. Returns a new pytree."""
+    weight_init = weight_init or xavier_gluon()
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out, n_kernel = [], 0
+    for path, leaf in paths_leaves:
+        name = path[-1].key if hasattr(path[-1], "key") else None
+        if name == "kernel":
+            out.append(weight_init(jax.random.fold_in(key, n_kernel),
+                                   leaf.shape, leaf.dtype))
+            n_kernel += 1
+        elif name == "bias":
+            out.append(jnp.zeros_like(leaf))
+        elif name == "scale":
+            out.append(jnp.ones_like(leaf))
+        else:
+            out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
