@@ -200,3 +200,45 @@ def prop_clip(seed: int, n_steps: int, h: int, w: int,
     return (images[sel],
             np.stack([labels_to_onehot(labels[i], num_objects)
                       for i in sel]))
+
+
+def fbrs_example(seed: int, h: int, w: int, n_points: int = 8,
+                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One f-BRS click-training sample: (image (H, W, 3) float32 [0,1],
+    gt (H, W) float32 binary mask, points (2P, 2) float32 (y, x)).
+
+    Points use the DistMaps layout (models/fbrs.py, reference
+    fbrs/model/ops.py:46-80): positive clicks fill the first P rows,
+    negatives the second P, -1 padding elsewhere. Sampling loosely
+    follows the reference training strategy (saic-vul fbrs points
+    sampler): the first positive click at the object's interior
+    distance-transform peak (what the evaluation Clicker also does on
+    an empty prediction, interactive/clicker.py), extra positives
+    uniform inside the object, negatives uniform over the background
+    with a bias to a boundary band.
+    """
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    images, labels = synthetic_sequence(seed, 1, h, w, num_objects=1,
+                                        min_radius=0.12, max_radius=0.30)
+    image, gt = images[0], (labels[0] == 1).astype(np.float32)
+    p = n_points
+    pts = np.full((2 * p, 2), -1.0, np.float32)
+    dt = cv2.distanceTransform(gt.astype(np.uint8), cv2.DIST_L2, 3)
+    cy, cx = np.unravel_index(int(np.argmax(dt)), dt.shape)
+    pts[0] = (cy, cx)
+    ys, xs = np.nonzero(gt > 0)
+    n_pos = rng.randint(1, min(4, p) + 1)
+    for i in range(1, n_pos):
+        j = rng.randint(len(ys))
+        pts[i] = (ys[j], xs[j])
+    band = cv2.dilate(gt.astype(np.uint8),
+                      np.ones((9, 9), np.uint8)).astype(bool) & (gt == 0)
+    n_neg = rng.randint(0, min(3, p) + 1)
+    for i in range(n_neg):
+        region = band if (rng.rand() < 0.5 and band.sum() > 0) else gt == 0
+        bys, bxs = np.nonzero(region)
+        j = rng.randint(len(bys))
+        pts[p + i] = (bys[j], bxs[j])
+    return image, gt, pts

@@ -25,7 +25,8 @@ import numpy as np
 import optax
 
 from mivos_tpu.data.transforms import im_normalize
-from mivos_tpu.generation.synthetic import prop_clip, s2m_example
+from mivos_tpu.generation.synthetic import (fbrs_example, prop_clip,
+                                            s2m_example)
 from mivos_tpu.models.propagation import PropagationNetwork
 from mivos_tpu.models.s2m import S2MNetwork
 from mivos_tpu.ops.aggregate import aggregate_wbg
@@ -172,4 +173,70 @@ class S2MPretrainer:
         x, gt = self.make_batch(seed)
         self.params, self.opt_state, loss, iou = self._step(
             self.params, self.opt_state, x, gt)
+        return float(loss), float(iou)
+
+
+class FBRSPretrainer:
+    """Adam on the full f-BRS click model (DistMaps -> rgb_conv ->
+    DeepLabV3+ -> SepConvHead, models/fbrs.py) with the reference's
+    normalized focal loss (fbrs/model/losses.py:9, train/fbrs_losses.py)
+    and its from-scratch init distribution (init_flavor='gluon',
+    models/initializer.py). Synthetic single-object click samples from
+    generation/synthetic.fbrs_example; the artifact feeds the NoC
+    accuracy-trajectory harness (eval/noc.py via the FULL
+    FeatureBRSPredictor stack — scripts/noc_synthetic.py)."""
+
+    def __init__(self, net=None, params: Optional[Dict] = None,
+                 lr: float = 5e-4, hw: Tuple[int, int] = (192, 192),
+                 num_objects: int = 1,  # single-object task (API parity
+                 seed: int = 0,         # with the other pretrainers)
+                 n_points: int = 8, batch: int = 4):
+        from mivos_tpu.models.fbrs import FBRSDeepLabModel, init_params
+        from mivos_tpu.train.fbrs_losses import normalized_focal_loss
+
+        self.net = net or FBRSDeepLabModel(arch="resnet34", ch=128)
+        self.hw, self.p, self.batch = hw, n_points, batch
+        h, w = hw
+        if params is None:
+            params = init_params(
+                self.net, jax.random.PRNGKey(seed),
+                np.zeros((1, h, w, 3), np.float32),
+                np.full((1, 2 * n_points, 2), -1.0, np.float32),
+                init_flavor="gluon")
+        self.params = params
+        self.tx = optax.chain(optax.clip_by_global_norm(1.0),
+                              optax.adam(lr))
+        self.opt_state = self.tx.init(self.params)
+        net_ref = self.net
+
+        def loss_fn(p, imgs, pts, gts):
+            logits = net_ref.apply(p, imgs, pts)          # (B, H, W, 1)
+            nfl = normalized_focal_loss(logits, gts).mean()
+            return nfl, _soft_iou(jax.nn.sigmoid(logits), gts)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(p, opt_state, imgs, pts, gts):
+            (loss, iou), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p, imgs, pts, gts)
+            updates, opt_state = self.tx.update(grads, opt_state, p)
+            return optax.apply_updates(p, updates), opt_state, loss, iou
+
+        self._step = step
+
+    def make_batch(self, seed: int):
+        h, w = self.hw
+        imgs, gts, pts = [], [], []
+        for b in range(self.batch):
+            im, gt, pt = fbrs_example(seed * self.batch + b, h, w,
+                                      n_points=self.p)
+            imgs.append(im_normalize(im))
+            gts.append(gt[..., None])
+            pts.append(pt)
+        return (np.stack(imgs), np.stack(pts),
+                np.stack(gts).astype(np.float32))
+
+    def step(self, seed: int) -> Tuple[float, float]:
+        imgs, pts, gts = self.make_batch(seed)
+        self.params, self.opt_state, loss, iou = self._step(
+            self.params, self.opt_state, imgs, pts, gts)
         return float(loss), float(iou)

@@ -19,9 +19,11 @@ def run(kind: str, steps: int, hw: int, lr: float, k: int, out: str,
         log_every: int, seed0: int, resume: bool = False,
         chain: int = 1) -> dict:
     from mivos_tpu.checkpoint.npz import load_params_npz, save_params_npz
-    from mivos_tpu.train.pretrain import PropPretrainer, S2MPretrainer
+    from mivos_tpu.train.pretrain import (FBRSPretrainer, PropPretrainer,
+                                          S2MPretrainer)
 
-    cls = PropPretrainer if kind == "prop" else S2MPretrainer
+    cls = {"prop": PropPretrainer, "s2m": S2MPretrainer,
+           "fbrs": FBRSPretrainer}[kind]
     init = None
     ckpt = os.path.join(out, f"{kind}_synthetic.npz")
     if resume and os.path.exists(ckpt):
@@ -47,7 +49,8 @@ def run(kind: str, steps: int, hw: int, lr: float, k: int, out: str,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--net", choices=("prop", "s2m", "both"), default="both")
+    ap.add_argument("--net", choices=("prop", "s2m", "fbrs", "both"),
+                    default="both")
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--hw", type=int, nargs="+", default=[192],
                 help="square size, or H W")

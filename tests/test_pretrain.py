@@ -107,3 +107,32 @@ class TestPretrainers:
                                       leaves(loaded["params"])):
             assert ka == kb
             np.testing.assert_array_equal(np.asarray(va), vb)
+
+    def test_fbrs_example_layout(self):
+        from mivos_tpu.generation.synthetic import fbrs_example
+
+        im, gt, pts = fbrs_example(7, h=48, w=64, n_points=5)
+        assert im.shape == (48, 64, 3) and gt.shape == (48, 64)
+        assert pts.shape == (10, 2) and pts.dtype == np.float32
+        # First positive click is inside the object (distance peak).
+        y, x = int(pts[0, 0]), int(pts[0, 1])
+        assert gt[y, x] == 1
+        # Every valid positive lies inside, every valid negative outside.
+        for p in pts[:5]:
+            if p[0] >= 0:
+                assert gt[int(p[0]), int(p[1])] == 1
+        for p in pts[5:]:
+            if p[0] >= 0:
+                assert gt[int(p[0]), int(p[1])] == 0
+        # Deterministic per seed.
+        im2, gt2, pts2 = fbrs_example(7, h=48, w=64, n_points=5)
+        np.testing.assert_array_equal(pts, pts2)
+        np.testing.assert_array_equal(gt, gt2)
+
+    def test_fbrs_pretrain_descends(self):
+        from mivos_tpu.train.pretrain import FBRSPretrainer
+
+        tr = FBRSPretrainer(hw=(48, 48), lr=1e-3, n_points=4, batch=2)
+        losses = [tr.step(3)[0] for _ in range(6)]
+        assert all(np.isfinite(losses))
+        assert min(losses[-2:]) < losses[0]
