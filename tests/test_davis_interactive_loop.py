@@ -64,7 +64,7 @@ class StubSession:
         assert masks.dtype == np.uint8
         assert masks.max() <= K and masks.min() >= 0
         if next_masks is not None:
-            assert all(isinstance(int(f), int) and 0 <= f < T
+            assert all(isinstance(f, (int, np.integer)) and 0 <= f < T
                        for f in next_masks), next_masks
         self.submitted.append(masks.copy())
 
