@@ -31,9 +31,18 @@ def main():
     p.add_argument("--end", type=int, default=None)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--skip_done", action="store_true",
-                   help="skip videos whose output dir already exists "
-                   "(resume an interrupted run; delete partially-written "
-                   "video dirs first)")
+                   help="skip videos whose output dir already exists. "
+                   "Safe to resume an interrupted run: videos are "
+                   "written to a <name>.__tmp__ staging dir and renamed "
+                   "into place only when complete, so an existing dir "
+                   "is always a finished video")
+    p.add_argument("--max_videos", type=int, default=0,
+                   help="process at most N videos then exit 0 (bounds "
+                   "per-process host memory: the axon tunnel client "
+                   "retains per-dispatch literals for its execution "
+                   "memoization, ~GBs/video on the per-frame path; a "
+                   "wrapper loops with --skip_done until ALL-DONE is "
+                   "printed). 0 = unlimited")
     args = p.parse_args()
 
     from mivos_tpu.checkpoint import convert_prop_net, load_torch_state_dict
@@ -58,16 +67,30 @@ def main():
         prop_params = {"params": convert_prop_net(
             load_torch_state_dict(args.model))}
 
+    # Sweep stale staging dirs from an interrupted run (a video dir
+    # without the .__tmp__ suffix is always COMPLETE: videos render
+    # into staging and are os.rename()d into place only at the end).
+    import shutil
+
+    for d in os.listdir(args.output):
+        if d.endswith(".__tmp__"):
+            shutil.rmtree(path.join(args.output, d))
+
+    processed, stopped_early = 0, False
     for index in range(len(dataset)):
         if args.skip_done and path.isdir(
                 path.join(args.output, dataset.videos[index])):
             print(dataset.videos[index], "(skipped)")
             continue
+        if args.max_videos and processed >= args.max_videos:
+            stopped_early = True
+            break
         data = dataset[index]
         rgb, msk, info = data["rgb"], data["gt"], data["info"]
         total_t = rgb.shape[0]
         gen = FusionGenerator(prop_net, prop_params, rgb,
                               mem_freq=args.mem_freq)
+        staging = path.join(args.output, info["name"] + ".__tmp__")
 
         for frame in range(0, total_t, args.separation):
             # Only objects with a sizeable mask on this frame
@@ -86,7 +109,7 @@ def main():
 
             probs = gen.interact_mask(msk[usable, frame], frame, left, right)
 
-            this_out = path.join(args.output, info["name"], f"{frame:05d}")
+            this_out = path.join(staging, f"{frame:05d}")
             for ki, obj_id in enumerate(usable):
                 obj_out = path.join(this_out, f"{obj_id + 1:05d}")
                 os.makedirs(obj_out, exist_ok=True)
@@ -94,7 +117,15 @@ def main():
                 for f in range(left, right + 1):
                     Image.fromarray(arr[f]).save(
                         path.join(obj_out, f"{f:05d}.png"))
-        print(info["name"])
+        # Atomic completion: a video dir exists iff it is fully written.
+        if path.isdir(staging):
+            os.rename(staging, path.join(args.output, info["name"]))
+        processed += 1
+        print(info["name"], flush=True)
+    if not stopped_early:
+        print("ALL-DONE", flush=True)
+    else:
+        print(f"[max-videos] stopping after {processed}", flush=True)
 
 
 if __name__ == "__main__":

@@ -69,14 +69,27 @@ def main():
         os.makedirs(args.root, exist_ok=True)
         write_dataset(args.root, n_videos=args.videos, t=args.frames)
         t0 = time.time()
-        rc = subprocess.run(
-            [sys.executable, path.join(REPO, "generate_fusion.py"),
-             "--dataset", "DAVIS", "--davis_root", args.root,
-             "--model_npz", args.weights,
-             "--output", path.join(fd_root, "davis"),
-             "--separation", str(args.separation),
-             "--dtype", "float32"], env=env, cwd=REPO).returncode
-        assert rc == 0, "generate_fusion failed"
+        # One process per <=4 videos: the axon tunnel client's
+        # execution-memoization retains per-dispatch literals host-side
+        # (~GBs/video on the per-frame path; an unbounded single
+        # process was OOM-killed at 130 GB RSS after 17 videos).
+        # generate_fusion's staged+atomic-rename writes make
+        # --skip_done resume exact.
+        while True:
+            r = subprocess.run(
+                [sys.executable, path.join(REPO, "generate_fusion.py"),
+                 "--dataset", "DAVIS", "--davis_root", args.root,
+                 "--model_npz", args.weights,
+                 "--output", path.join(fd_root, "davis"),
+                 "--separation", str(args.separation),
+                 "--dtype", "float32", "--skip_done",
+                 "--max_videos", "4"],
+                env=env, cwd=REPO, stdout=subprocess.PIPE, text=True)
+            sys.stdout.write(r.stdout)
+            sys.stdout.flush()
+            assert r.returncode == 0, "generate_fusion failed"
+            if "ALL-DONE" in r.stdout:
+                break
         print(f"[generate_fusion] {time.time() - t0:.0f}s", flush=True)
 
     save_dir = path.join(args.root, "saves")
@@ -109,9 +122,10 @@ def main():
     proc.wait()
     assert proc.returncode == 0, f"train.py rc={proc.returncode}"
     wall = time.time() - t0
+    assert losses, "no [total_loss] lines parsed from train.py output"
     print(f"[train] {wall:.0f}s, loss first={losses[0]:.4f} "
           f"min={min(losses):.4f} last={losses[-1]:.4f}", flush=True)
-    assert losses and losses[-1] < losses[0], losses
+    assert losses[-1] < losses[0], losses
 
     # Export the final checkpoint as a flat npz for inference loaders.
     from mivos_tpu.checkpoint.manager import CheckpointManager
