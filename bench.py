@@ -36,9 +36,12 @@ def kernel_gate() -> dict:
     if os.environ.get("MIVOS_SKIP_KERNEL_GATE") == "1":
         return {"ok": None, "skipped": True}
     here = os.path.dirname(os.path.abspath(__file__))
+    # Per-process gate-report path: two concurrent bench runs must not
+    # clobber each other's report and read the other run's numbers.
+    gate_json = f"/tmp/pallas_kernel_gate.{os.getpid()}.json"
     cmd = [sys.executable, os.path.join(here, "scripts",
                                         "pallas_kernel_check.py"),
-           "--gate-only", "--out", "/tmp/pallas_kernel_gate.json"]
+           "--gate-only", "--out", gate_json]
     env = {**os.environ,
            "PYTHONPATH": here + os.pathsep + os.environ.get(
                "PYTHONPATH", "")}
@@ -54,7 +57,7 @@ def kernel_gate() -> dict:
                          + r.stdout[-4000:] + "\n--- stderr ---\n"
                          + r.stderr[-4000:] + "\n")
         sys.exit(1)
-    with open("/tmp/pallas_kernel_gate.json") as f:
+    with open(gate_json) as f:
         rep = json.load(f)
     worst = max(x["pallas_mean_abs_err"] / max(x["readout_scale"], 1e-9)
                 for x in rep["reports"])

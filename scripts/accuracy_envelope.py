@@ -102,6 +102,21 @@ def main():
     ap.add_argument("--gate-frac", type=float, default=0.0,
                     help="minimum frac_margin_1e-2 to accept (VERDICT r3 "
                     "item 2 target: 0.9 with ALL nets trained)")
+    # Stage-attribution knobs for the FAST session (VERDICT r4 item 2:
+    # root-cause decided-pixel flips by re-running with one fast-path
+    # approximation removed at a time; scripts/envelope_diagnose.py
+    # compares the dumps).
+    ap.add_argument("--fast-fusion-fp32", action="store_true",
+                    help="run the fast session's FusionNet in fp32 "
+                    "(isolates bf16 fusion sharpening)")
+    ap.add_argument("--fast-towers-fp32", action="store_true",
+                    help="run the fast session's prop towers in fp32, "
+                    "keeping the Pallas read (isolates bf16 conv noise)")
+    ap.add_argument("--fast-read-refine", type=int, default=0,
+                    help="Pallas exact-count threshold-refine passes "
+                    "(isolates top-k threshold support)")
+    ap.add_argument("--tag", default="",
+                    help="suffix for /tmp/envelope_arrays<tag>.npz")
     args = ap.parse_args()
     print("devices:", jax.devices(), flush=True)
     # One shared fp32 weight set (converted-checkpoint-style): init at a
@@ -129,9 +144,11 @@ def main():
                                       jnp.zeros((K, 128, 160, 1)), f0)
         images, m1, m2 = make_session_inputs()
 
-    prop_fast = PropagationNetwork(top_k=50, dtype="bfloat16",
-                                   read_backend="pallas")
-    fuse_fast = FusionNet(dtype="bfloat16")
+    prop_fast = PropagationNetwork(
+        top_k=50, dtype=None if args.fast_towers_fp32 else "bfloat16",
+        read_backend="pallas", read_refine=args.fast_read_refine)
+    fuse_fast = FusionNet() if args.fast_fusion_fp32 \
+        else FusionNet(dtype="bfloat16")
 
     print("running FAST session (bf16 + pallas)...", flush=True)
     out_f, prob_f, t_f = run_session(prop_fast, fuse_fast, prop_params,
@@ -143,7 +160,7 @@ def main():
                                      fuse_params, images, m1, m2)
     print(f"exact session: {t_e:.1f}s", flush=True)
     # Raw dump first: a stats bug must never cost a 15-min TPU rerun.
-    np.savez_compressed("/tmp/envelope_arrays.npz", out_f=out_f,
+    np.savez_compressed(f"/tmp/envelope_arrays{args.tag}.npz", out_f=out_f,
                         out_e=out_e, prob_f=prob_f, prob_e=prob_e,
                         fast_s=t_f, exact_s=t_e)
 
@@ -170,6 +187,9 @@ def main():
         "fast_s": t_f, "exact_s": t_e,
         "weights": args.weights or "random-init",
         "fusion_weights": args.fusion_weights or "random-init",
+        "fast_config": {"towers_fp32": args.fast_towers_fp32,
+                        "fusion_fp32": args.fast_fusion_fp32,
+                        "read_refine": args.fast_read_refine},
     }
     print(json.dumps(report))
     ok = report["agreement_margin_1e-2"]

@@ -60,6 +60,9 @@ def timed_round(mgr, sid, labels, frame):
         if n > seen and not p["done"]:
             arrivals.append((round(time.monotonic() - t0, 3), n))
             seen = n
+        # 25 ms poll cadence: a busy loop would contend the GIL with
+        # the interact thread being measured and bias the timings.
+        time.sleep(0.025)
     th.join()
     wall = time.monotonic() - t0
     assert out["masks"].shape == (T, H, W)
