@@ -50,18 +50,28 @@ else
   echo "=== m3b: zero decided-pixel flips — no ablations needed ==="
 fi
 
+# m4-m7 are independent measurements: one failure must not skip the
+# rest (especially the headline bench). Collect failures, report last.
+set +e
+FAILED=""
+
 echo "=== m4: full 8-round protocol, chain-trained nets ($(date +%T)) ==="
 python scripts/full_protocol_tpu.py --warmup \
-    --out /tmp/r5_full_protocol.json
+    --out /tmp/r5_full_protocol.json || FAILED="$FAILED m4"
 
 echo "=== m5: NoC trajectory through the full f-BRS stack ($(date +%T)) ==="
 python scripts/noc_synthetic.py --train-steps 600 --eval-n 20 \
-    --out /tmp/r5_noc.json
+    --out /tmp/r5_noc.json || FAILED="$FAILED m5"
 
 echo "=== m6: slim-decoder A/B on the chip ($(date +%T)) ==="
-python scripts/slim_decoder_bench.py | tee /tmp/r5_slim_decoder.log
+python scripts/slim_decoder_bench.py | tee /tmp/r5_slim_decoder.log \
+    || FAILED="$FAILED m6"
 
 echo "=== m7: headline bench (preskip decoder) ($(date +%T)) ==="
-python bench.py | tee /tmp/r5_bench.log
+python bench.py | tee /tmp/r5_bench.log || FAILED="$FAILED m7"
 
+if [ -n "$FAILED" ]; then
+  echo "=== R5-MEASURE-PIPELINE-FAILED:$FAILED ($(date +%T)) ==="
+  exit 1
+fi
 echo "=== R5-MEASURE-PIPELINE-OK ($(date +%T)) ==="
