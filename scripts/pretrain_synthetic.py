@@ -75,21 +75,31 @@ def main():
         logs[kind] = run(kind, args.steps, hw, args.lr, args.objects,
                          args.out, args.log_every, args.seed,
                          resume=args.resume, chain=args.chain)
+    # The log is merged per-net so training one net never clobbers a
+    # sibling's history (an s2m run used to erase the prop curriculum
+    # curves), and each run's schedule (steps/hw/lr/seed/chain) is
+    # appended so the curriculum a checkpoint went through is auditable.
     log_path = os.path.join(args.out, "pretrain_log.json")
-    if args.resume and os.path.exists(log_path):
+    old = {}
+    if os.path.exists(log_path):
         with open(log_path) as f:
             old = json.load(f)
-        for kind, hist in logs.items():
-            if kind in old:  # append continued curves
-                base = old[kind]["step"][-1] + 1
-                old[kind] = {k2: old[kind][k2] + (
-                    [s + base for s in hist["step"]] if k2 == "step"
-                    else hist[k2]) for k2 in hist}
-            else:
-                old[kind] = hist
-        logs = old
+    for kind, hist in logs.items():
+        meta = {"steps": args.steps, "hw": hw, "lr": args.lr,
+                "seed": args.seed, "resume": args.resume}
+        if kind == "prop":
+            meta["chain"] = args.chain
+        if args.resume and kind in old:  # append continued curves
+            base = old[kind]["step"][-1] + 1
+            merged = {k2: old[kind][k2] + (
+                [s + base for s in hist["step"]] if k2 == "step"
+                else hist[k2]) for k2 in ("loss", "iou", "step")}
+            merged["schedule"] = old[kind].get("schedule", []) + [meta]
+            old[kind] = merged
+        else:
+            old[kind] = dict(hist, schedule=[meta])
     with open(log_path, "w") as f:
-        json.dump(logs, f, indent=1)
+        json.dump(old, f, indent=1)
     print("PRETRAIN-OK")
 
 
