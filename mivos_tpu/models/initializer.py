@@ -95,3 +95,62 @@ def apply_initializer(params, key, weight_init=None):
         else:
             out.append(leaf)
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def calibrate_frozen_bn(net, params, inputs, iters: int = 3):
+    """LSUV-style statistics calibration for from-scratch training
+    through FrozenBatchNorm towers.
+
+    The reference pretrains its click/segmentation models with LIVE
+    BatchNorm (fbrs/model/modeling/resnetv1b.py `norm_layer`); this
+    framework's model defs keep FrozenBatchNorm because every shipped
+    checkpoint freezes BN at inference. A fresh init leaves the frozen
+    running stats at (0, 1), so deep residual towers stack variance
+    unnormalized — stage-4 activations reach ~1e4 and the first
+    optimizer step saturates the head (measured in train/pretrain.py's
+    FBRSPretrainer docstring). This measures each FrozenBatchNorm's
+    actual input distribution on a representative batch (via the
+    `bn_stats` sow in models/layers.py) and writes it into the frozen
+    (mean, var) params — reproducing live BN's init-time behavior while
+    keeping frozen inference semantics. Iterated because upstream
+    calibration shifts downstream statistics; `iters=3` converges for
+    resnet-depth towers.
+
+    `inputs`: the positional args `net.apply(params, *inputs)` takes.
+    Returns a new params pytree.
+
+    An UNcalibrated deep tower can overflow fp32 (activations ~1e19,
+    variances inf) beyond its first few stages, so early iterations can
+    only measure true statistics up to the overflow depth; measured
+    stats are sanitized (non-finite -> huge-but-finite var, var clamped
+    away from 0 so a constant-input BN cannot re-amplify by 1/sqrt(eps))
+    and each iteration pushes the calibrated frontier deeper. Depth-35
+    towers (resnet34+deeplab) need iters ~= 10.
+    """
+    for _ in range(iters):
+        _, aux = net.apply(params, *inputs, mutable=["bn_stats"])
+        params = {"params": _write_bn_stats(
+            dict(params["params"]), aux["bn_stats"])}
+    return params
+
+
+def _write_bn_stats(psub, ssub):
+    out = {}
+    for k, v in psub.items():
+        if k in ssub and isinstance(v, dict):
+            if "input" in ssub[k] and "mean" in v and "var" in v:
+                x = ssub[k]["input"][-1]  # sow may record >1 entry
+                x32 = jnp.asarray(x, jnp.float32)
+                axes = tuple(range(x.ndim - 1))
+                new = dict(v)
+                new["mean"] = jnp.nan_to_num(x32.mean(axes),
+                                             posinf=0.0, neginf=0.0)
+                new["var"] = jnp.clip(
+                    jnp.nan_to_num(x32.var(axes), nan=1.0, posinf=1e30),
+                    1e-4, 1e30)
+                out[k] = new
+            else:
+                out[k] = _write_bn_stats(dict(v), ssub[k])
+        else:
+            out[k] = v
+    return out

@@ -84,6 +84,12 @@ class FrozenBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean = self.param("mean", nn.initializers.zeros, (self.features,))
         var = self.param("var", nn.initializers.ones, (self.features,))
+        # No-op unless applied with mutable=["bn_stats"]: lets
+        # models/initializer.calibrate_frozen_bn measure this BN's input
+        # distribution for from-scratch training (converted checkpoints
+        # carry trained stats; a fresh init carries (0, 1) placeholders,
+        # which leaves deep residual towers unnormalized and untrainable).
+        self.sow("bn_stats", "input", x)
         # Fold into a single multiply-add; all fp32 regardless of x dtype
         # to preserve pretrained-stat precision, then cast back.
         mul = (scale * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)

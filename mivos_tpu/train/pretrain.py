@@ -180,21 +180,42 @@ class FBRSPretrainer:
     """Adam on the full f-BRS click model (DistMaps -> rgb_conv ->
     DeepLabV3+ -> SepConvHead, models/fbrs.py) with the reference's
     normalized focal loss (fbrs/model/losses.py:9, train/fbrs_losses.py)
-    and its from-scratch init distribution (init_flavor='gluon',
-    models/initializer.py). Synthetic single-object click samples from
+    . Synthetic single-object click samples from
     generation/synthetic.fbrs_example; the artifact feeds the NoC
     accuracy-trajectory harness (eval/noc.py via the FULL
-    FeatureBRSPredictor stack — scripts/noc_synthetic.py)."""
+    FeatureBRSPredictor stack — scripts/noc_synthetic.py).
+
+    FROM-SCRATCH TRAINABILITY (all of this measured, round 5): the
+    reference trains its click models with LIVE BatchNorm
+    (fbrs/model/modeling/resnetv1b.py norm_layer); our model defs keep
+    FrozenBatchNorm because every shipped checkpoint freezes BN at
+    inference. Through frozen (0, 1) stats, the BASIC-block resnet34
+    tower stacks residual variance until stage-4 activations reach ~1e4
+    and one Adam step saturates every logit (at 192^2: logits
+    [-0.17,-0.01] -> [-95,-3.4] after a single 5e-4 step, then loss pins
+    at -log(1e-3) with zero gradient — for gluon AND flax-default
+    inits). The BOTTLENECK resnet50 tower trains fine through the same
+    frozen stats (exactly like the working S2MPretrainer), so the
+    default pretrain arch here is resnet50. `calibrate_bn=True`
+    additionally writes measured input statistics into the frozen
+    (mean, var) (models/initializer.calibrate_frozen_bn) — it
+    un-explodes resnet34 but the collapsed relus stay dead (constant
+    logits), so it is opt-in, not a fix for basic-block towers.
+
+    init_flavor: None (flax lecun defaults) or 'gluon' (the reference's
+    from-scratch distribution, models/initializer.py)."""
 
     def __init__(self, net=None, params: Optional[Dict] = None,
-                 lr: float = 5e-4, hw: Tuple[int, int] = (192, 192),
+                 lr: float = 2e-4, hw: Tuple[int, int] = (192, 192),
                  num_objects: int = 1,  # single-object task (API parity
                  seed: int = 0,         # with the other pretrainers)
-                 n_points: int = 8, batch: int = 4):
+                 n_points: int = 8, batch: int = 4,
+                 init_flavor: Optional[str] = None,
+                 calibrate_bn: bool = False):
         from mivos_tpu.models.fbrs import FBRSDeepLabModel, init_params
         from mivos_tpu.train.fbrs_losses import normalized_focal_loss
 
-        self.net = net or FBRSDeepLabModel(arch="resnet34", ch=128)
+        self.net = net or FBRSDeepLabModel(arch="resnet50", ch=128)
         self.hw, self.p, self.batch = hw, n_points, batch
         h, w = hw
         if params is None:
@@ -202,7 +223,13 @@ class FBRSPretrainer:
                 self.net, jax.random.PRNGKey(seed),
                 np.zeros((1, h, w, 3), np.float32),
                 np.full((1, 2 * n_points, 2), -1.0, np.float32),
-                init_flavor="gluon")
+                init_flavor=init_flavor or "default")
+            if calibrate_bn:
+                from mivos_tpu.models.initializer import calibrate_frozen_bn
+
+                imgs, pts, _ = self.make_batch(seed)
+                params = calibrate_frozen_bn(self.net, params,
+                                             (imgs, pts), iters=10)
         self.params = params
         self.tx = optax.chain(optax.clip_by_global_norm(1.0),
                               optax.adam(lr))

@@ -32,7 +32,7 @@ def main():
     ap.add_argument("--train-steps", type=int, default=600)
     ap.add_argument("--eval-n", type=int, default=20)
     ap.add_argument("--hw", type=int, default=192)
-    ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--weights", default="weights/fbrs_synthetic.npz")
     ap.add_argument("--brs-mode", default="f-BRS-B")
     ap.add_argument("--max-clicks", type=int, default=20)
@@ -59,7 +59,9 @@ def main():
 
     print("devices:", jax.devices(), flush=True)
     hw = (args.hw, args.hw)
-    net = FBRSDeepLabModel(arch="resnet34", ch=128)
+    # resnet50: the bottleneck tower trains through frozen BN;
+    # the basic-block resnet34 diverges (FBRSPretrainer docstring).
+    net = FBRSDeepLabModel(arch="resnet50", ch=128)
 
     if os.path.exists(args.weights):
         print(f"[fbrs] loading {args.weights}", flush=True)

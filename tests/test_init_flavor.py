@@ -174,3 +174,53 @@ class TestApplyInitializerUnit:
         # Running stats untouched.
         assert (np.asarray(p["some_bn"]["mean"]) == 7).all()
         assert (np.asarray(p["some_bn"]["var"]) == 5).all()
+
+
+class TestFrozenBNCalibration:
+    def test_calibration_normalizes_toy_tower(self):
+        """calibrate_frozen_bn writes measured input stats into frozen
+        (mean, var): after calibration the last BN's output is ~N(0,1)
+        even through a deliberately mis-scaled middle layer."""
+        import flax.linen as nn
+        import jax
+        import numpy as np
+
+        from mivos_tpu.models.initializer import calibrate_frozen_bn
+        from mivos_tpu.models.layers import FrozenBatchNorm, conv3x3
+
+        class Toy(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                x = conv3x3(8, name="c1")(x)
+                x = FrozenBatchNorm(8, name="b1")(x)
+                x = nn.relu(x) * 7.0 + 3.0
+                x = FrozenBatchNorm(8, name="b2")(x)
+                return x
+
+        net = Toy()
+        x = np.random.RandomState(0).rand(2, 16, 16, 3).astype(np.float32)
+        params = net.init(jax.random.PRNGKey(0), x)
+        y0 = np.asarray(net.apply(params, x))
+        assert abs(float(y0.std()) - 1) > 0.5  # uncalibrated: mis-scaled
+        cal = calibrate_frozen_bn(net, params, (x,))
+        y = np.asarray(net.apply(cal, x))
+        assert abs(float(y.mean())) < 0.05
+        assert abs(float(y.std()) - 1) < 0.1
+        # kernels untouched — calibration only rewrites BN stats
+        np.testing.assert_array_equal(
+            params["params"]["c1"]["kernel"], cal["params"]["c1"]["kernel"])
+
+    def test_inference_apply_unchanged(self):
+        """The bn_stats sow is inert without mutable=['bn_stats']:
+        plain apply returns the same array as before the sow existed."""
+        import jax
+        import numpy as np
+
+        from mivos_tpu.models.layers import FrozenBatchNorm
+
+        net = FrozenBatchNorm(4)
+        x = np.random.RandomState(1).rand(2, 5, 5, 4).astype(np.float32)
+        p = net.init(jax.random.PRNGKey(0), x)
+        y = net.apply(p, x)
+        expect = (x - 0.0) / np.sqrt(1.0 + 1e-5)  # init stats (0,1)
+        np.testing.assert_allclose(np.asarray(y), expect, atol=1e-5)
