@@ -91,6 +91,10 @@ def main():
         gen = FusionGenerator(prop_net, prop_params, rgb,
                               mem_freq=args.mem_freq)
         staging = path.join(args.output, info["name"] + ".__tmp__")
+        # Even a video with no usable object must complete (empty dir):
+        # the resume contract is "output dir exists iff video finished",
+        # and --skip_done must not re-propagate it on every resume.
+        os.makedirs(staging, exist_ok=True)
 
         for frame in range(0, total_t, args.separation):
             # Only objects with a sizeable mask on this frame
@@ -118,8 +122,12 @@ def main():
                     Image.fromarray(arr[f]).save(
                         path.join(obj_out, f"{f:05d}.png"))
         # Atomic completion: a video dir exists iff it is fully written.
-        if path.isdir(staging):
-            os.rename(staging, path.join(args.output, info["name"]))
+        # A prior run's dir (re-run without --skip_done) is replaced,
+        # matching the old overwrite-in-place semantics.
+        final = path.join(args.output, info["name"])
+        if path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(staging, final)
         processed += 1
         print(info["name"], flush=True)
     if not stopped_early:

@@ -324,21 +324,9 @@ class FBRSDeepLabModel(nn.Module):
 
 def init_params(model: FBRSDeepLabModel, key, image, points,
                 init_flavor: str = "default"):
-    """Construct params for a from-scratch fbrs model. `init_flavor`:
+    """Construct params for a from-scratch fbrs model; see
+    models/initializer.py::init_model_params for the flavors."""
+    from mivos_tpu.models.initializer import init_model_params
 
-      * 'default' — flax defaults (what converted .pth checkpoints
-        overwrite anyway)
-      * 'gluon'   — the reference's from-scratch init distribution:
-        XavierGluon(uniform, avg, 3.0) kernels, zero biases/BN betas,
-        unit BN gammas (fbrs/model/initializer.py:11-44,79-105; the
-        saic-vul training recipe the vendored code descends from)
-    """
-    import jax as _jax
-
-    from mivos_tpu.models.initializer import apply_initializer
-
-    params = model.init(key, image, points)
-    if init_flavor == "default":
-        return params
-    assert init_flavor == "gluon", init_flavor
-    return apply_initializer(params, _jax.random.fold_in(key, 0x9107))
+    return init_model_params(model, key, image, points,
+                             init_flavor=init_flavor)

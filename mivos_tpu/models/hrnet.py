@@ -346,16 +346,9 @@ class FBRSHRNetModel(nn.Module):
 
 def init_params(model: FBRSHRNetModel, key, image, points,
                 init_flavor: str = "default"):
-    """Construct params for a from-scratch hrnet model; `init_flavor`
-    'gluon' applies the reference's from-scratch init distribution (see
-    models/fbrs.py::init_params — same semantics, shared traversal in
-    models/initializer.py::apply_initializer)."""
-    import jax as _jax
+    """Construct params for a from-scratch hrnet model; see
+    models/initializer.py::init_model_params for the flavors."""
+    from mivos_tpu.models.initializer import init_model_params
 
-    from mivos_tpu.models.initializer import apply_initializer
-
-    params = model.init(key, image, points)
-    if init_flavor == "default":
-        return params
-    assert init_flavor == "gluon", init_flavor
-    return apply_initializer(params, _jax.random.fold_in(key, 0x9107))
+    return init_model_params(model, key, image, points,
+                             init_flavor=init_flavor)

@@ -97,6 +97,26 @@ def apply_initializer(params, key, weight_init=None):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+def init_model_params(model, key, *inputs, init_flavor: str = "default"):
+    """Construct params for a from-scratch interactive-seg model.
+    Shared by models/fbrs.py and models/hrnet.py `init_params`.
+
+    `init_flavor`:
+
+      * 'default' — flax defaults (what converted .pth checkpoints
+        overwrite anyway)
+      * 'gluon'   — the reference's from-scratch init distribution:
+        XavierGluon(uniform, avg, 3.0) kernels, zero biases/BN betas,
+        unit BN gammas (fbrs/model/initializer.py:11-44,79-105; the
+        saic-vul training recipe the vendored code descends from)
+    """
+    params = model.init(key, *inputs)
+    if init_flavor == "default":
+        return params
+    assert init_flavor == "gluon", init_flavor
+    return apply_initializer(params, jax.random.fold_in(key, 0x9107))
+
+
 def calibrate_frozen_bn(net, params, inputs, iters: int = 3):
     """LSUV-style statistics calibration for from-scratch training
     through FrozenBatchNorm towers.

@@ -89,7 +89,12 @@ class FrozenBatchNorm(nn.Module):
         # distribution for from-scratch training (converted checkpoints
         # carry trained stats; a fresh init carries (0, 1) placeholders,
         # which leaves deep residual towers unnormalized and untrainable).
-        self.sow("bn_stats", "input", x)
+        # Guarded out of init(): every collection is mutable during
+        # init, so an unguarded sow would leak activation tensors into
+        # model.init() results (and from there into optimizer state and
+        # saved npz artifacts).
+        if not self.is_initializing():
+            self.sow("bn_stats", "input", x)
         # Fold into a single multiply-add; all fp32 regardless of x dtype
         # to preserve pretrained-stat precision, then cast back.
         mul = (scale * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)

@@ -77,7 +77,10 @@ def main():
                         ("s1", args.s1_weights)):
         if args.smoke:
             import jax.numpy as jnp
-            params = net.init(jax.random.PRNGKey(hash(name) % 97),
+            # Fixed per-config seed: str hash() is salted per process
+            # (PYTHONHASHSEED), which would break run-to-run repro.
+            params = net.init(jax.random.PRNGKey(
+                                  {"chain": 11, "s1": 13}[name]),
                               jnp.zeros((H, W, 3)),
                               jnp.zeros((K, H, W, 1)), jnp.zeros((H, W, 3)))
         else:

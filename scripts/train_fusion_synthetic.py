@@ -76,7 +76,10 @@ def main():
         # generate_fusion's staged+atomic-rename writes make
         # --skip_done resume exact.
         while True:
-            r = subprocess.run(
+            # Stream per-video progress live (a chunk runs for tens of
+            # minutes through the tunnel; buffered output would make a
+            # wedged tunnel indistinguishable from a slow run).
+            p = subprocess.Popen(
                 [sys.executable, path.join(REPO, "generate_fusion.py"),
                  "--dataset", "DAVIS", "--davis_root", args.root,
                  "--model_npz", args.weights,
@@ -85,10 +88,14 @@ def main():
                  "--dtype", "float32", "--skip_done",
                  "--max_videos", "4"],
                 env=env, cwd=REPO, stdout=subprocess.PIPE, text=True)
-            sys.stdout.write(r.stdout)
-            sys.stdout.flush()
-            assert r.returncode == 0, "generate_fusion failed"
-            if "ALL-DONE" in r.stdout:
+            out_lines = []
+            for line in p.stdout:
+                sys.stdout.write(line)
+                sys.stdout.flush()
+                out_lines.append(line)
+            p.wait()
+            assert p.returncode == 0, "generate_fusion failed"
+            if any("ALL-DONE" in ln for ln in out_lines):
                 break
         print(f"[generate_fusion] {time.time() - t0:.0f}s", flush=True)
 

@@ -224,3 +224,24 @@ class TestFrozenBNCalibration:
         y = net.apply(p, x)
         expect = (x - 0.0) / np.sqrt(1.0 + 1e-5)  # init stats (0,1)
         np.testing.assert_allclose(np.asarray(y), expect, atol=1e-5)
+
+    def test_init_has_no_bn_stats_collection(self):
+        """init() must return ONLY the params collection: during init
+        every collection is mutable, so an unguarded bn_stats sow would
+        leak full activation tensors into every model.init() result —
+        and from there into optimizer state, jitted-step dead inputs,
+        and save_params_npz artifacts (regression: round-5
+        weights/fbrs_synthetic.npz shipped 67 such arrays)."""
+        import jax
+        import numpy as np
+
+        from mivos_tpu.models.layers import FrozenBatchNorm
+
+        net = FrozenBatchNorm(4)
+        x = np.zeros((2, 5, 5, 4), np.float32)
+        p = net.init(jax.random.PRNGKey(0), x)
+        assert set(p.keys()) == {"params"}, list(p.keys())
+        # The measurement path still works: apply with the collection
+        # marked mutable records the BN input.
+        _, aux = net.apply(p, x, mutable=["bn_stats"])
+        assert "bn_stats" in aux and aux["bn_stats"]
