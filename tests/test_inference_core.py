@@ -480,6 +480,34 @@ def test_bank_cap_crossing_thins_commit_schedule(setup):
     assert np.isfinite(np.asarray(capped.get_prob(t2 // 2))).all()
 
 
+def test_effective_mem_freq_policy():
+    """Unit-level thinning policy (core/inference.py::_effective_mem_freq):
+    the scan path reserves a scratch slot the per-frame path doesn't,
+    and an empty pass never raises (nothing will be committed)."""
+    from types import SimpleNamespace
+
+    from mivos_tpu.config import MemoryConfig
+    from mivos_tpu.core.inference import InferenceCore
+
+    self = SimpleNamespace(mem=MemoryConfig(mem_freq=1, bank_cap_frames=8))
+    f = InferenceCore._effective_mem_freq
+    # scan: avail = 8 - 1 - 2 = 5 -> 23-frame pass thins 1 -> 5
+    assert f(self, 23, 1, scan=True) == 5
+    # per-frame path keeps one more slot: avail 6 -> freq 4
+    assert f(self, 23, 1, scan=False) == 4
+    # schedule that already fits is untouched
+    assert f(self, 5, 1, scan=True) == 1
+    # empty pass: no commits, no capacity question — even at a cap the
+    # certain memory alone would otherwise overflow
+    assert f(self, 0, 7, scan=True) == 1
+    with pytest.raises(ValueError, match="bank_cap_frames"):
+        f(self, 3, 7, scan=True)  # non-empty pass with no slots left
+    # per-frame path survives one more certain frame than the scan path
+    assert f(self, 3, 6, scan=False) == 3
+    with pytest.raises(ValueError, match="bank_cap_frames"):
+        f(self, 3, 7, scan=False)
+
+
 def test_bank_cap_smaller_than_certain_memory_raises(setup):
     """No silent wrong answer when certain memory alone exceeds the
     bank: the session names the knob instead of under-allocating."""
