@@ -53,18 +53,28 @@ class PropPretrainer:
     plain single-pair STM signal; chain_steps>=2 additionally trains
     against exposure bias, the mid-sequence drift mode the accuracy
     envelope exposed (PERF.md: low-margin pixels peak ~15 frames from
-    the interactions, where the bank is all self-predictions)."""
+    the interactions, where the bank is all self-predictions).
+
+    `chain_mix` (e.g. (1, 3)) interleaves chain lengths round-robin by
+    step seed — the scheduled-sampling middle ground: the round-5
+    all-chain curriculum fixed exposure bias (flat IoU over a pass) but
+    traded away GT-seeded confidence, dropping the S2M-seeded protocol
+    composition (PERF.md round-5 'confidence is not quality'). Mixing
+    keeps the GT-pair signal in every other step. One jitted step per
+    distinct length; params/opt state shared."""
 
     def __init__(self, net: Optional[PropagationNetwork] = None,
                  params: Optional[Dict] = None, lr: float = 2e-4,
                  hw: Tuple[int, int] = (192, 192), num_objects: int = 2,
-                 seed: int = 0, chain_steps: int = 1):
+                 seed: int = 0, chain_steps: int = 1,
+                 chain_mix: Optional[Tuple[int, ...]] = None):
         self.net = net or PropagationNetwork(top_k=50,
                                              read_backend="xla_exact")
         assert self.net.read_backend == "xla_exact", (
             "training must differentiate through the exact top-k read")
-        assert chain_steps >= 1
-        self.hw, self.k, self.chain = hw, num_objects, chain_steps
+        self.mix = tuple(chain_mix) if chain_mix else (chain_steps,)
+        assert all(n >= 1 for n in self.mix), self.mix
+        self.hw, self.k, self.chain = hw, num_objects, max(self.mix)
         h, w = hw
         if params is None:
             f0 = jnp.zeros((h, w, 3))
@@ -76,55 +86,68 @@ class PropPretrainer:
         self.opt_state = self.tx.init(self.params)
 
         net_ref = self.net
-        n_chain = chain_steps
 
-        def loss_fn(p, imgs, gts):
-            # imgs: (S+1, H, W, 3); gts: (S+1, K, H, W, 1)
-            mem_k, mem_v = net_ref.apply(p, imgs[0], gts[0],
-                                         method="memorize")
-            total = 0.0
-            for s in range(1, n_chain + 1):
-                valid = jnp.ones((mem_k.shape[1],), bool)
-                f16, f8, f4, k16, v16 = net_ref.apply(
-                    p, imgs[s], method="get_query_values")
-                # Loss on LOGITS (segment_logits): BCE from the sigmoid
-                # output saturates in fp32 and its clip zeroes gradients.
-                logits = net_ref.apply(p, mem_k, mem_v, valid, f16, f8,
-                                       f4, k16, v16,
-                                       method="segment_logits")
-                total = total + _bce_logits(logits, gts[s])
-                prob = jax.nn.sigmoid(logits)
-                if s < n_chain:
-                    # Memorize the aggregated self-prediction, exactly
-                    # what the session commits (core/inference.py:226).
-                    agg = aggregate_wbg(prob, keep_bg=True)[1:]
-                    nk, nv = net_ref.apply(p, imgs[s], agg,
-                                           method="memorize")
-                    mem_k = jnp.concatenate([mem_k, nk], axis=1)
-                    mem_v = jnp.concatenate([mem_v, nv], axis=1)
-            # iou reported for the LAST (hardest) step of the chain
-            return total / n_chain, _soft_iou(prob, gts[n_chain])
+        def make_step(n_chain: int):
+            def loss_fn(p, imgs, gts):
+                # imgs: (S+1, H, W, 3); gts: (S+1, K, H, W, 1)
+                mem_k, mem_v = net_ref.apply(p, imgs[0], gts[0],
+                                             method="memorize")
+                total = 0.0
+                for s in range(1, n_chain + 1):
+                    valid = jnp.ones((mem_k.shape[1],), bool)
+                    f16, f8, f4, k16, v16 = net_ref.apply(
+                        p, imgs[s], method="get_query_values")
+                    # Loss on LOGITS (segment_logits): BCE from the
+                    # sigmoid output saturates in fp32 and its clip
+                    # zeroes gradients.
+                    logits = net_ref.apply(p, mem_k, mem_v, valid, f16,
+                                           f8, f4, k16, v16,
+                                           method="segment_logits")
+                    total = total + _bce_logits(logits, gts[s])
+                    prob = jax.nn.sigmoid(logits)
+                    if s < n_chain:
+                        # Memorize the aggregated self-prediction,
+                        # exactly what the session commits
+                        # (core/inference.py:226).
+                        agg = aggregate_wbg(prob, keep_bg=True)[1:]
+                        nk, nv = net_ref.apply(p, imgs[s], agg,
+                                               method="memorize")
+                        mem_k = jnp.concatenate([mem_k, nk], axis=1)
+                        mem_v = jnp.concatenate([mem_v, nv], axis=1)
+                # iou reported for the LAST (hardest) step of the chain
+                return total / n_chain, _soft_iou(prob, gts[n_chain])
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def step(p, opt_state, imgs, gts):
-            (loss, iou), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(p, imgs, gts)
-            updates, opt_state = self.tx.update(grads, opt_state, p)
-            return optax.apply_updates(p, updates), opt_state, loss, iou
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def step(p, opt_state, imgs, gts):
+                (loss, iou), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(p, imgs, gts)
+                updates, opt_state = self.tx.update(grads, opt_state, p)
+                return (optax.apply_updates(p, updates), opt_state,
+                        loss, iou)
 
-        self._step = step
+            return step
 
-    def make_batch(self, seed: int):
+        self._steps = {n: make_step(n) for n in set(self.mix)}
+        self._step = self._steps[self.mix[0]]  # single-length compat
+
+    def pick_chain(self, seed: int) -> int:
+        """Deterministic round-robin over the mix by step seed, so a
+        resumed run replays the identical schedule."""
+        return self.mix[seed % len(self.mix)]
+
+    def make_batch(self, seed: int, n_chain: Optional[int] = None):
         h, w = self.hw
+        n = n_chain if n_chain is not None else self.chain
         # Gaps 1-5: session propagation is frame-to-frame with mem_freq 5
         # commits, so the read rarely spans a larger temporal gap.
-        imgs, gts = prop_clip(seed, self.chain, h, w, num_objects=self.k,
+        imgs, gts = prop_clip(seed, n, h, w, num_objects=self.k,
                               max_gap=5)
         return im_normalize(imgs), gts
 
     def step(self, seed: int) -> Tuple[float, float]:
-        batch = self.make_batch(seed)
-        self.params, self.opt_state, loss, iou = self._step(
+        n = self.pick_chain(seed)
+        batch = self.make_batch(seed, n)
+        self.params, self.opt_state, loss, iou = self._steps[n](
             self.params, self.opt_state, *batch)
         return float(loss), float(iou)
 

@@ -17,7 +17,7 @@ import time
 
 def run(kind: str, steps: int, hw: int, lr: float, k: int, out: str,
         log_every: int, seed0: int, resume: bool = False,
-        chain: int = 1) -> dict:
+        chain=(1,)) -> dict:
     from mivos_tpu.checkpoint.npz import load_params_npz, save_params_npz
     from mivos_tpu.train.pretrain import (FBRSPretrainer, PropPretrainer,
                                           S2MPretrainer)
@@ -29,7 +29,10 @@ def run(kind: str, steps: int, hw: int, lr: float, k: int, out: str,
     if resume and os.path.exists(ckpt):
         init = load_params_npz(ckpt)
         print(f"[{kind}] resuming from {ckpt}", flush=True)
-    kw = {"chain_steps": chain} if kind == "prop" else {}
+    kw = {}
+    if kind == "prop":
+        kw = ({"chain_steps": chain[0]} if len(chain) == 1
+              else {"chain_mix": tuple(chain)})
     trainer = cls(params=init, lr=lr, hw=tuple(hw), num_objects=k, **kw)
     hist = {"loss": [], "iou": [], "step": []}
     t0 = time.time()
@@ -61,10 +64,12 @@ def main():
     ap.add_argument("--seed", type=int, default=1000)
     ap.add_argument("--resume", action="store_true",
                     help="continue from <out>/<net>_synthetic.npz")
-    ap.add_argument("--chain", type=int, default=1,
+    ap.add_argument("--chain", type=int, nargs="+", default=[1],
                     help="prop only: chained propagation steps per "
                     "sample (memorize own predictions; >=2 trains "
-                    "against exposure bias)")
+                    "against exposure bias). Multiple values "
+                    "(e.g. --chain 1 3) interleave lengths round-robin "
+                    "— the scheduled-sampling mixed curriculum")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)

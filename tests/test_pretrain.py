@@ -84,6 +84,23 @@ class TestPretrainers:
         assert all(np.isfinite(losses))
         assert min(losses[-3:]) < losses[0]
 
+    def test_prop_pretrain_mixed_curriculum(self):
+        """chain_mix interleaves lengths round-robin by seed (the
+        scheduled-sampling curriculum): both compiled steps drive the
+        SAME params/opt state, the schedule is deterministic, and the
+        mixed run descends."""
+        from mivos_tpu.train.pretrain import PropPretrainer
+
+        tr = PropPretrainer(hw=(48, 48), num_objects=2, lr=1e-3,
+                            chain_mix=(1, 2))
+        assert [tr.pick_chain(s) for s in range(5)] == [1, 2, 1, 2, 1]
+        assert set(tr._steps) == {1, 2}
+        losses = [tr.step(s)[0] for s in range(10)]
+        assert all(np.isfinite(losses))
+        # single-length ctor path unchanged
+        tr1 = PropPretrainer(hw=(48, 48), num_objects=2, chain_steps=2)
+        assert tr1.mix == (2,) and tr1.pick_chain(17) == 2
+
     def test_s2m_pretrain_descends_and_roundtrips(self, tmp_path):
         from mivos_tpu.train.pretrain import S2MPretrainer
 
